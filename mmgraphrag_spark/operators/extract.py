@@ -1,0 +1,124 @@
+"""Mention detection + triple extraction (SURVEY.md §2.9 L1, §7.1 step 3).
+
+The extractor is a pluggable backend behind one seam:
+    chunks(chunk_id, content) -> mentions(chunk_id, records)
+where ``records`` is the reference record-grammar wire format
+(prompt.py:190-192): '("entity"<|>name<|>type<|>desc)##...<|COMPLETE|>'.
+
+Backends:
+  - DeterministicExtractor — regex/gazetteer over the datagen grammar; used by
+    tests and bench (the load-bearing seam of SURVEY §7.4: P/R is only testable
+    against a deterministic oracle).
+  - LLMExtractor — batched API client with cache-table join (J17) and bounded
+    in-UDF concurrency; network calls are stubbed in this sandbox.
+
+Both are Arrow-batched pandas UDFs (no per-row Python): one Python call per
+~4096-row batch, regex work vectorized via pandas str ops where possible.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark import COMPLETE_TAG, RECORD_SEP
+from mmgraphrag_spark.functions import args_hash
+from mmgraphrag_spark.functions.records import (
+    explode_records,
+    parse_entity_records,
+    parse_relationship_records,
+)
+
+_MENTION_RE = re.compile(r"ENTITY_(\d+) is a ([A-Z]+) associated with (topic_\d+)\.")
+_RELATION_RE = re.compile(
+    r"ENTITY_(\d+) RELATES_TO ENTITY_(\d+) \(w=(\d+)\) regarding (topic_\d+)\."
+)
+
+def _extract_records_text(text: str) -> str:
+    """One chunk's text -> record-grammar string (deterministic backend)."""
+    recs = []
+    for m in _MENTION_RE.finditer(text):
+        k, typ, topic = m.group(1), m.group(2), m.group(3)
+        desc = f"ENTITY_{k} is a {typ} associated with {topic}."
+        recs.append(f'("entity"<|>"ENTITY_{k}"<|>"{typ}"<|>{desc})')
+    for m in _RELATION_RE.finditer(text):
+        a, b, w, topic = m.group(1), m.group(2), m.group(3), m.group(4)
+        recs.append(
+            f'("relationship"<|>"ENTITY_{a}"<|>"ENTITY_{b}"<|>relates regarding {topic}<|>{w})'
+        )
+    return RECORD_SEP.join(recs) + COMPLETE_TAG
+
+class DeterministicExtractor:
+    """Gazetteer/regex extraction backend (test + bench mode)."""
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pdf["chunk_id"],
+                    "doc_id": pdf["doc_id"],
+                    "records": pdf["content"].map(_extract_records_text),
+                }
+            )
+
+class LLMExtractor:
+    """API-backed extraction (entity_extraction prompt lineage, prompt.py:58-187).
+
+    Sends batches to a chat-completions endpoint with bounded in-UDF concurrency
+    (reference caps 16 in-flight calls, base.py:142-172) and relies on the
+    llm_cache join (extract_mentions cache args) so only misses hit the network.
+    Network access is unavailable in this sandbox -> explicitly stubbed.
+    """
+
+    def __init__(self, model: str = "", max_concurrency: int = 16):
+        self.model = model
+        self.max_concurrency = max_concurrency
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "LLMExtractor requires network access; use DeterministicExtractor "
+            "in offline/test mode"
+        )
+
+def extract_mentions(
+    chunks: DataFrame,
+    backend=None,
+    llm_cache: DataFrame | None = None,
+) -> DataFrame:
+    """chunks -> mentions(chunk_id, doc_id, records) via mapInPandas.
+
+    When ``llm_cache`` is given, a left join on the args hash (J17,
+    llm.py:81-96) routes hits around the backend; only misses run the UDF.
+    """
+    backend = backend or DeterministicExtractor()
+    src = chunks.select("chunk_id", "doc_id", "content")
+    schema = "chunk_id string, doc_id string, records string"
+    if llm_cache is not None:
+        keyed = src.withColumn("_h", args_hash(F.col("content")))
+        hits = keyed.join(llm_cache, keyed._h == llm_cache.args_hash, "inner").select(
+            "chunk_id", "doc_id", F.col("payload").alias("records")
+        )
+        misses = keyed.join(
+            llm_cache, keyed._h == llm_cache.args_hash, "left_anti"
+        ).select("chunk_id", "doc_id", "content")
+        return hits.unionByName(misses.mapInPandas(backend.map_batches, schema))
+    return src.mapInPandas(backend.map_batches, schema)
+
+def parse_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """mentions -> (entity mention rows, relationship mention rows).
+
+    Record parsing is pure DataFrame expressions (P3-P6) so it stays inside
+    WholeStageCodegen downstream of the UDF.
+    """
+    recs = explode_records(mentions, "records")
+    ents = parse_entity_records(recs).select(
+        "entity_name", "entity_type", "description", F.col("chunk_id").alias("source_id")
+    )
+    rels = parse_relationship_records(recs).select(
+        "src", "tgt", "description", "weight", F.col("chunk_id").alias("source_id")
+    )
+    return ents, rels

@@ -1,0 +1,466 @@
+"""Cross-modal entity fusion (SURVEY.md §2.8 M2-M7, §2.4 J3/J8/J14/J16, §4).
+
+Reference pipeline (fusion.py:606-997): per image, gather "nearby" text entities
+(chunk_order_index within +-1), spectral-cluster their description embeddings,
+transfer a cluster label to each image entity via nearest neighbor, let an LLM
+judge same-label candidates, then merge aligned pairs into the text graph with
+entity canonicalization.
+
+Spark-first re-expression (order-independent, per SURVEY §4 "sequential fold"
+hazard):
+  1. blocking     — neighborhood blocks (parity path, J3) or MinHash/LSH blocks
+                    (scale path), block size capped so the per-block O(n^3) eig
+                    stays bounded; hub-entity skew handled by the cap + AQE.
+  2. clustering   — applyInPandas per block: block-local tf-idf embeddings,
+                    cosine Gram (M2), edge reweighting (M3), unnormalized
+                    Laplacian + eigh with the reference's abs() quirk (M4),
+                    epsilon-graph union-find clustering (M5 stand-in for DBSCAN,
+                    documented deviation), nearest-text-neighbor label transfer
+                    with a proper guard for tiny blocks (M6 — reference's
+                    double-fit bug at fusion.py:315-319 is guarded, not copied).
+  3. judging      — same-label candidate pairs (J14) through a pluggable judge
+                    (deterministic normalized-name backend offline; LLM online).
+  4. canonicalize — alias pairs -> connected components (hash-min loop) ->
+                    contraction of entities/edges (J16). Canonical = the text
+                    member with lexicographic-min name (deviation from the
+                    reference's order-dependent fold, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark import GRAPH_FIELD_SEP
+from mmgraphrag_spark.functions import normalize_name
+
+# ---------------------------------------------------------------------------
+# 1. Blocking
+# ---------------------------------------------------------------------------
+
+def neighborhood_blocks(
+    img_members: DataFrame,
+    text_entity_occurrences: DataFrame,
+    window: int = 1,
+) -> DataFrame:
+    """Parity blocking: one block per media span (= per image, like the
+    reference's per-image fusion loop), containing the image's entities plus
+    text entities sourced from chunks within +-window offsets in the same doc.
+
+    img_members: (block_id=media_ref, doc_id, chunk_order_index, entity_name,
+                  description)
+    text_entity_occurrences: (entity_name, description, doc_id,
+                  chunk_order_index) — one row per source-chunk occurrence.
+
+    The join is an equi-join on doc_id plus a band predicate on the offset (J3)
+    — Catalyst plans it as a shuffle join on doc_id; blocks never cross docs.
+    """
+    img = img_members.select(
+        F.col("block_id"),
+        F.col("doc_id"),
+        F.col("chunk_order_index").alias("img_idx"),
+    ).distinct()
+    t = text_entity_occurrences.select(
+        F.col("doc_id"),
+        F.col("chunk_order_index").alias("txt_idx"),
+        "entity_name",
+        "description",
+    )
+    nearby = (
+        img.join(t, "doc_id")
+        .filter(F.abs(F.col("txt_idx") - F.col("img_idx")) <= window)
+        .select(
+            "block_id",
+            "entity_name",
+            F.lit("text").alias("kind"),
+            "description",
+        )
+        .distinct()
+    )
+    img_nodes = img_members.select(
+        "block_id", "entity_name", F.lit("img").alias("kind"), "description"
+    ).distinct()
+    return nearby.unionByName(img_nodes)
+
+def lsh_blocks(
+    entities: DataFrame,
+    text_col: str = "description",
+    shingle_len: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Scale blocking: MinHash/LSH over word shingles of the entity text.
+
+    MinHash uses lexicographic-min of md5(seed || shingle) hex strings — a valid
+    random permutation per seed, fully JVM-side (md5 + array_min), identically
+    computable by an external SQL oracle. Each entity lands in `bands` blocks
+    keyed by the concatenation of its band's minhashes; candidate pairs are
+    entities sharing a block. Output: (block_id, entity_name, kind, description).
+    """
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+    shingles = F.when(F.size(words) >= shingle_len,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - shingle_len),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    df = entities.withColumn("_sh", F.array_distinct(shingles))
+    band_cols = []
+    for b in range(bands):
+        mins = [
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s, seed=b * rows_per_band + r: F.md5(
+                        F.concat(F.lit(f"seed{seed}:"), s)
+                    ),
+                )
+            )
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.concat_ws("|", F.lit(f"b{b}"), *mins).alias(f"_band{b}"))
+    df = df.select("*", *band_cols)
+    out = None
+    for b in range(bands):
+        part = df.select(
+            F.col(f"_band{b}").alias("block_id"),
+            "entity_name",
+            "kind",
+            "description",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+def cap_blocks(members: DataFrame, max_block: int = 2000) -> DataFrame:
+    """Bound block cardinality so the per-block Gram/eig stays in UDF memory
+    (SURVEY §7.4 block-size blowup): oversized blocks are salted into
+    deterministic sub-blocks of <= max_block members. This is the hub-entity
+    skew-salting point — a hot block becomes many bounded ones.
+    """
+    w = Window.partitionBy("block_id").orderBy("kind", "entity_name")
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "block_id",
+            F.concat_ws("#", "block_id", ((F.col("_rn") - 1) / max_block).cast("int")),
+        )
+        .drop("_rn")
+    )
+
+# ---------------------------------------------------------------------------
+# 2. Per-block spectral clustering (grouped-map pandas UDF)
+# ---------------------------------------------------------------------------
+
+def _tokenize(text: str) -> list:
+    import re as _re
+
+    return _re.findall(r"\w+", (text or "").lower())
+
+def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
+    """numpy spectral clustering of one block. Returns (entity_name, kind, label)."""
+    nodes = pdf[pdf["role"] == "node"].reset_index(drop=True)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity_name": [], "kind": [], "label": []})
+    if n == 1:
+        return pd.DataFrame(
+            {"entity_name": nodes["entity_name"], "kind": nodes["kind"], "label": [0]}
+        )
+    # block-local tf-idf embeddings over name+description tokens
+    docs = [
+        _tokenize(name + " " + (desc or ""))
+        for name, desc in zip(nodes["entity_name"], nodes["description"])
+    ]
+    vocab: dict = {}
+    for toks in docs:
+        for t in set(toks):
+            vocab[t] = vocab.get(t, 0) + 1
+    vlist = sorted(vocab)
+    vidx = {t: i for i, t in enumerate(vlist)}
+    X = np.zeros((n, len(vlist)))
+    for i, toks in enumerate(docs):
+        for t in toks:
+            X[i, vidx[t]] += 1.0
+    idf = np.log(1.0 + n / np.array([vocab[t] for t in vlist]))
+    X *= idf
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    # M2: cosine Gram
+    A = Xn @ Xn.T
+    np.fill_diagonal(A, 1.0)
+    A = np.clip(A, 0.0, None)
+    # M3: reweight known relationship pairs (symmetric), fusion.py:263-276
+    idx = {name: i for i, name in enumerate(nodes["entity_name"])}
+    edges = pdf[pdf["role"] == "edge"]
+    for s, t, w in zip(edges["entity_name"], edges["description"], edges["weight"]):
+        # edge rows smuggle src in entity_name, tgt in description
+        if s in idx and t in idx:
+            i, j = idx[s], idx[t]
+            A[i, j] *= max(w, 1.0)
+            A[j, i] = A[i, j]
+    # M4: unnormalized Laplacian + eigendecomposition; reference uses
+    # np.linalg.eig + abs() of possibly-complex eigvecs (fusion.py:286-292);
+    # we use eigh on the symmetrized L (deterministic) and keep the abs().
+    D = np.diag(A.sum(axis=1))
+    L = D - A
+    L = (L + L.T) / 2.0
+    k = max(2, math.ceil(math.sqrt(n)))
+    k = min(k, n)
+    vals, vecs = np.linalg.eigh(L)
+    emb = np.abs(vecs[:, :k])
+    # M5: epsilon-graph union-find over spectral coords (deterministic DBSCAN
+    # stand-in, eps matches the reference's 0.5; documented deviation: no
+    # min_samples noise label — singletons become their own cluster)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    text_mask = (nodes["kind"] == "text").to_numpy()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.linalg.norm(emb[i] - emb[j]) <= eps:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    labels = np.array([find(i) for i in range(n)])
+    # M6: image entities take the label of the nearest TEXT entity by cosine
+    # (n_neighbors=1 with a guard for blocks without text members; the
+    # reference's unconditional n=3 refit crashes on tiny blocks — guarded).
+    if text_mask.any():
+        sims = A  # cosine Gram (pre-reweight scale is fine for argmax)
+        for i in range(n):
+            if not text_mask[i]:
+                tsims = np.where(text_mask, sims[i], -np.inf)
+                labels[i] = labels[int(np.argmax(tsims))]
+    return pd.DataFrame(
+        {"entity_name": nodes["entity_name"], "kind": nodes["kind"], "label": labels}
+    )
+
+def spectral_cluster_blocks(
+    members: DataFrame,
+    block_edges: DataFrame | None = None,
+    eps: float = 0.5,
+) -> DataFrame:
+    """(block_id, entity_name, kind, description) [+ block edges] ->
+    (block_id, entity_name, kind, label) via applyInPandas per block.
+
+    Edge rows are unioned in with role='edge' (src in entity_name, tgt in
+    description, weight) so one grouped-map pass sees both. Blocks are bounded
+    by cap_blocks upstream, keeping the O(n^3) eig per-task cheap.
+    """
+    nodes = members.select(
+        "block_id",
+        "entity_name",
+        "kind",
+        "description",
+        F.lit(1.0).alias("weight"),
+        F.lit("node").alias("role"),
+    )
+    if block_edges is not None:
+        e = block_edges.select(
+            "block_id",
+            F.col("src").alias("entity_name"),
+            F.lit("").alias("kind"),
+            F.col("tgt").alias("description"),
+            F.col("weight").cast("double").alias("weight"),
+            F.lit("edge").alias("role"),
+        )
+        nodes = nodes.unionByName(e)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _cluster_block(pdf, eps)
+        out.insert(0, "block_id", key[0])
+        return out
+
+    return nodes.groupBy("block_id").applyInPandas(
+        run, "block_id string, entity_name string, kind string, label long"
+    )
+
+# ---------------------------------------------------------------------------
+# 3. Judge (J14)
+# ---------------------------------------------------------------------------
+
+def judge_alignment(clustered: DataFrame) -> DataFrame:
+    """Same-block same-label (img, text) candidate pairs -> alias pairs.
+
+    Deterministic judge: normalized image name with any trailing parenthesized
+    qualifier stripped must equal the normalized text name (stand-in for the
+    reference's MLLM judgment, fusion.py:227-242). One alias per image entity,
+    best candidate by name order. Output: (alias, canonical_candidate).
+    """
+    img = clustered.filter(F.col("kind") == "img").select(
+        "block_id", "label", F.col("entity_name").alias("img_name")
+    )
+    txt = clustered.filter(F.col("kind") == "text").select(
+        "block_id", "label", F.col("entity_name").alias("txt_name")
+    )
+    img_norm = F.regexp_replace(normalize_name(F.col("img_name")), r"\([^)]*\)$", "")
+    cand = (
+        img.join(txt, ["block_id", "label"])
+        .filter(img_norm == normalize_name(F.col("txt_name")))
+        .select("img_name", "txt_name")
+        .distinct()
+    )
+    w = Window.partitionBy("img_name").orderBy("txt_name")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("img_name").alias("alias"), F.col("txt_name").alias("canonical"))
+    )
+
+# ---------------------------------------------------------------------------
+# 4. Connected components + contraction (J16)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Hash-min label propagation over undirected (alias, canonical) pairs.
+
+    Returns (entity_name, component) where component = lexicographic-min name
+    reachable. Iterates until fixpoint with localCheckpoint per round to cut
+    lineage (SURVEY §4 "connected components"); alias graphs are shallow
+    (stars), so this converges in 2-3 rounds.
+    """
+    # cut the (potentially huge) upstream lineage ONCE — every loop iteration
+    # re-reads these edges, and without this the whole pipeline above would be
+    # recomputed per round
+    edges = (
+        pairs.select(F.col("alias").alias("a"), F.col("canonical").alias("b"))
+        .unionByName(pairs.select(F.col("canonical").alias("a"), F.col("alias").alias("b")))
+        .distinct()
+    ).localCheckpoint()
+    comp = (
+        edges.select(F.col("a").alias("entity_name"))
+        .distinct()
+        .withColumn("component", F.col("entity_name"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp, edges.b == comp.entity_name)
+            .groupBy(F.col("a").alias("entity_name"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_comp = (
+            comp.join(nbr_min, "entity_name", "left")
+            .select(
+                "entity_name",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "entity_name")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+def alias_map(pairs: DataFrame, entities: DataFrame) -> DataFrame:
+    """Alias pairs -> transitive alias map (alias -> canonical).
+
+    Canonical per component prefers a non-image-typed member (the reference
+    merges image entities INTO text entities), then lexicographic-min name —
+    deterministic, replacing the reference's order-dependent sequential fold
+    (fusion.py:1004-1020; deviation documented in SURVEY §4).
+    """
+    comp = connected_components(pairs)
+    typed = comp.join(
+        entities.select("entity_name", "entity_type"), "entity_name", "left"
+    ).withColumn(
+        "_prio",
+        F.when(
+            F.col("entity_type").isin('"ORI_IMG"', '"IMG_ENTITY"', '"IMG"'), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    canon = (
+        typed.groupBy("component")
+        .agg(
+            F.min(F.struct(F.col("_prio"), F.col("entity_name").alias("n")))
+            .getField("n")
+            .alias("canonical")
+        )
+    )
+    return (
+        comp.join(canon, "component")
+        .filter(F.col("entity_name") != F.col("canonical"))
+        .select(F.col("entity_name").alias("alias"), "canonical")
+    )
+
+def _resplit_descs(col):
+    return F.array_sort(
+        F.array_distinct(F.flatten(F.collect_list(F.split(col, GRAPH_FIELD_SEP))))
+    )
+
+def contract(
+    entities: DataFrame, edges: DataFrame, aliases: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Rewire edges and merge entities through the alias map (J16,
+    fusion.py:936-991). The alias map is tiny relative to the graph ->
+    broadcast both joins; re-merge groupBys are single hash shuffles with
+    partial aggregation.
+    """
+    canon_src = aliases.withColumnRenamed("alias", "src").withColumnRenamed("canonical", "_cs")
+    canon_tgt = (
+        aliases.withColumnRenamed("alias", "tgt").withColumnRenamed("canonical", "_ct")
+    )
+    e = (
+        edges.join(F.broadcast(canon_src), "src", "left")
+        .join(F.broadcast(canon_tgt), "tgt", "left")
+        .withColumn("_s", F.coalesce(F.col("_cs"), F.col("src")))
+        .withColumn("_t", F.coalesce(F.col("_ct"), F.col("tgt")))
+        .filter(F.col("_s") != F.col("_t"))  # self-loops from merged pairs drop
+    )
+    new_edges = (
+        e.groupBy(
+            F.least("_s", "_t").alias("src"), F.greatest("_s", "_t").alias("tgt")
+        )
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
+                "description"
+            ),
+            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias("source_ids"),
+            F.min("order").alias("order"),
+        )
+        .select("src", "tgt", "weight", "description", "source_ids", "order")
+    )
+    ent = entities.join(
+        F.broadcast(aliases), entities["entity_name"] == aliases["alias"], "left"
+    )
+    ent = ent.withColumn("_name", F.coalesce(F.col("canonical"), F.col("entity_name")))
+    new_entities = (
+        ent.groupBy(F.col("_name").alias("entity_name"))
+        .agg(
+            # canonical member's own type wins (its name equals the group key)
+            F.min(
+                F.struct(
+                    F.when(F.col("entity_name") == F.col("_name"), 0)
+                    .otherwise(1)
+                    .alias("p"),
+                    F.col("entity_type").alias("t"),
+                )
+            )
+            .getField("t")
+            .alias("entity_type"),
+            F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
+                "description"
+            ),
+            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias("source_ids"),
+        )
+    )
+    return new_entities, new_edges

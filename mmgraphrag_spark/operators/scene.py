@@ -1,0 +1,123 @@
+"""Scene-graph construction from media spans (SURVEY.md §3.3, §2.3 C4, §2.9 L3-L6).
+
+The reference runs YOLO segmentation + MLLM description per image
+(img2graph.py:279-481). Neither model is available in this sandbox, so detection
+is a pluggable backend:
+
+  - DeterministicSceneBackend — derives objects from the caption text in closed
+    form (the FIXTURES.md §2 stand-in); used by tests/bench. Real Spark plumbing
+    (mapInPandas over media rows, explode, min-size filter) is identical for a
+    real backend.
+  - YoloMllmBackend — the production seam: consumes a binary image column
+    (spark.read.format("binaryFile") / inline binary media), runs detection +
+    captioning per Arrow batch. Stubbed: model weights/network unavailable here.
+
+Graph synthesis mirrors img2graph.py:444-481: one '"ORI_IMG"' whole-image
+entity per media span, one '"IMG_ENTITY"' node per kept object, containment
+edges with weight 10 (img2graph.py:473-479).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CAPTION_ENTITY_RE = re.compile(r"ENTITY_(\d+)")
+
+class DeterministicSceneBackend:
+    """Caption-derived objects; emits one undersized noise row per image to
+    exercise the min-size filter (img2graph.py:363-365)."""
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_ref": [], "object_id": [], "label": [],
+                   "description": [], "width": [], "height": []}
+            for media_ref, caption in zip(pdf["media_ref"], pdf["caption"]):
+                ks = sorted({int(k) for k in _CAPTION_ENTITY_RE.findall(caption or "")})
+                for i, k in enumerate(ks):
+                    out["media_ref"].append(media_ref)
+                    out["object_id"].append(i)
+                    out["label"].append(f"ENTITY_{k} (IMAGE)")
+                    out["description"].append(
+                        f"object depicting ENTITY_{k} in {media_ref}"
+                    )
+                    out["width"].append(64)
+                    out["height"].append(64)
+                out["media_ref"].append(media_ref)
+                out["object_id"].append(len(ks))
+                out["label"].append("NOISE (IMAGE)")
+                out["description"].append("tiny artifact")
+                out["width"].append(16)
+                out["height"].append(16)
+            yield pd.DataFrame(out)
+
+class YoloMllmBackend:
+    """Production detection backend over binary image content.
+
+    Would decode bytes (PIL), run YOLOv8-seg, crop masks, and describe crops
+    with an MLLM (img2graph.py:279-385). Requires model weights + network —
+    unavailable in this sandbox.
+    """
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "YoloMllmBackend needs YOLO weights and an MLLM endpoint; "
+            "use DeterministicSceneBackend offline"
+        )
+
+def detect_scene_objects(media_spans: DataFrame, backend=None) -> DataFrame:
+    """media_spans -> schema.SCENE_OBJECTS via Arrow-batched mapInPandas."""
+    backend = backend or DeterministicSceneBackend()
+    schema = (
+        "media_ref string, object_id int, label string, description string, "
+        "width int, height int"
+    )
+    return media_spans.select("media_ref", "caption").mapInPandas(
+        backend.map_batches, schema
+    )
+
+def scene_graph(
+    media_spans: DataFrame, objects: DataFrame, min_size: int = 28
+) -> tuple[DataFrame, DataFrame]:
+    """(media_spans, scene objects) -> (image entity mention rows, image edge
+    mention rows) — mention-shaped so the global A1/A2 merge (operators/merge.py)
+    aggregates text- and image-side evidence in one pass.
+
+    - P17 min-size filter: keep objects with width>min_size AND height>min_size.
+    - ORI_IMG entity per media span named '"IMG_<media_ref>"' (img2graph.py:464).
+    - IMG_ENTITY node per object, name = upper(label) quoted (img2graph.py:378).
+    - containment edge ORI_IMG<->object, weight 10, order 1 (img2graph.py:473-479).
+    source_id carries the media_ref (the media span is the provenance unit).
+    """
+    kept = objects.filter(
+        (F.col("width") > min_size) & (F.col("height") > min_size)
+    )
+    ori_name = F.concat(F.lit('"IMG_'), F.col("media_ref"), F.lit('"'))
+    obj_name = F.concat(F.lit('"'), F.upper(F.col("label")), F.lit('"'))
+
+    ent_mentions = media_spans.select(
+        ori_name.alias("entity_name"),
+        F.lit('"ORI_IMG"').alias("entity_type"),
+        F.coalesce(F.col("caption"), F.lit("")).alias("description"),
+        F.col("media_ref").alias("source_id"),
+    ).unionByName(
+        kept.select(
+            obj_name.alias("entity_name"),
+            F.lit('"IMG_ENTITY"').alias("entity_type"),
+            F.col("description"),
+            F.col("media_ref").alias("source_id"),
+        )
+    )
+
+    rel_mentions = kept.select(
+        F.least(ori_name, obj_name).alias("src"),
+        F.greatest(ori_name, obj_name).alias("tgt"),
+        F.lit("contains").alias("description"),
+        F.lit(10.0).alias("weight"),
+        F.col("media_ref").alias("source_id"),
+    )
+    return ent_mentions, rel_mentions

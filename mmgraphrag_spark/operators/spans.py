@@ -1,0 +1,190 @@
+"""Span pipeline: documents -> exploded spans -> chunks + media spans.
+
+SURVEY.md operators: W1 (ordinal via posexplode), C1 (token-window chunking),
+C2 (md5 ids + anti-join dedup), C3 (media context window), J2 (image->chunk
+association by word-overlap argmax), J1 (new-key anti join).
+
+Scale notes: documents are hash-partitioned by doc_id upstream (pipeline.py);
+everything here is narrow per-doc work except the J2 score join, which is
+doc-local (join key doc_id) so it shuffles once on doc_id and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.functions import mdhash_id, clean_str_col
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> one row per span.
+
+    ``offset`` is carried from the input (the reference's chunk_order_index);
+    ``span_pos`` is the physical array position — span-sequence parity checks
+    compare (kind, text, media_ref, offset) in span_pos order.
+    """
+    return documents.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_pos", "span"),
+    ).select(
+        "doc_id",
+        "span_pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+def chunk_occurrences(
+    spans: DataFrame,
+    max_tokens: int = 1200,
+    overlap: int = 100,
+) -> DataFrame:
+    """Pre-dedup chunk rows: one row per (chunk occurrence in a doc).
+
+    Needed by the fusion neighborhood join: a deduplicated chunk (same content
+    in many docs) still occurs at a (doc_id, chunk_order_index) per doc, and
+    "nearby entities" are defined per occurrence (fusion.py:156-202).
+    """
+    return _chunk_rows(spans, max_tokens, overlap)
+
+def chunk_text_spans(
+    spans: DataFrame,
+    max_tokens: int = 1200,
+    overlap: int = 100,
+) -> DataFrame:
+    """Text spans -> chunk rows (schema.CHUNKS).
+
+    Sliding token window mirroring chunking_by_token_size
+    (preprocessing.py:30-69): window starts at 0, step = max_tokens - overlap,
+    i.e. ceil(n/step) chunks including the tail. Tokens are whitespace words
+    (deterministic test-mode tokenizer; a tiktoken pandas-UDF backend plugs in
+    for real corpora, SURVEY P9). All JVM-side: split + sequence + posexplode +
+    slice, no Python.
+
+    chunk_id = "chunk-" + md5(content) (preprocessing.py:127-137); duplicate
+    span content collapses to one chunk row (J1 semantics within the batch),
+    keeping min(doc_id)/min(offset) for determinism.
+    """
+    chunks = _chunk_rows(spans, max_tokens, overlap)
+    w = Window.partitionBy("chunk_id").orderBy("doc_id", "chunk_order_index")
+    return (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
+    step = max_tokens - overlap
+    toks = F.split(F.trim(clean_str_col(F.col("text"))), r"\s+")
+    t = (
+        spans.filter(F.col("kind") == "text")
+        .withColumn("_toks", toks)
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_starts",
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step)),
+        )
+        .select(
+            "doc_id",
+            "offset",
+            F.col("_toks"),
+            F.posexplode("_starts").alias("_w", "_start"),
+        )
+        .withColumn("_window", F.slice("_toks", F.col("_start") + 1, max_tokens))
+        .select(
+            "doc_id",
+            "offset",
+            F.concat_ws(" ", "_window").alias("content"),
+            F.size("_window").alias("tokens"),
+        )
+        .filter(F.col("tokens") > 0)
+    )
+    return t.select(
+        mdhash_id(F.col("content"), "chunk-").alias("chunk_id"),
+        "doc_id",
+        "content",
+        "tokens",
+        F.col("offset").alias("chunk_order_index"),
+    )
+
+def filter_new_keys(batch: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """J1: keep only rows whose key is absent from the existing store
+    (storage.py:223-224 filter_keys -> left anti join)."""
+    return batch.join(existing.select(key), key, "left_anti")
+
+def media_spans_with_context(
+    spans: DataFrame,
+    context_spans: int = 1,
+) -> DataFrame:
+    """Media spans + surrounding text context (C3) -> schema.MEDIA_SPANS
+    minus chunk_id (filled by associate_media_to_chunks).
+
+    Context = text of spans within +-context_spans offsets, gathered with a
+    range-frame window over the per-doc span order — no self-join, one shuffle
+    on doc_id (reference gathers ~100 words around the image position,
+    preprocessing.py:208-263).
+    """
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rangeBetween(-context_spans, context_spans)
+    )
+    ctx = F.concat_ws(
+        " ",
+        F.flatten(
+            F.collect_list(
+                F.when(F.col("kind") == "text", F.array(F.col("text"))).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).over(w)
+        ),
+    )
+    return (
+        spans.withColumn("context", ctx)
+        .filter(F.col("kind") != "text")
+        .select(
+            "media_ref",
+            "doc_id",
+            F.col("text").alias("caption"),
+            "context",
+            F.col("offset").alias("chunk_order_index"),
+            F.lit(True).alias("segmentation"),
+        )
+    )
+
+def associate_media_to_chunks(media: DataFrame, chunks: DataFrame) -> DataFrame:
+    """J2: similarity theta-join + arg-max.
+
+    Score = |distinct context words ∩ distinct chunk words| (set semantics of
+    the reference's per-word membership count, preprocessing.py:178-206);
+    best chunk per media span via row_number. Join is doc-local (equi on
+    doc_id) so it never goes cartesian across documents.
+    """
+    m = media.withColumn(
+        "_ctx_words", F.array_distinct(F.split(F.lower(F.col("context")), r"\s+"))
+    )
+    c = chunks.select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.col("chunk_id").alias("cand_chunk_id"),
+        F.array_distinct(F.split(F.lower(F.col("content")), r"\s+")).alias("_chunk_words"),
+    )
+    scored = m.join(c, m.doc_id == c.c_doc_id, "left").withColumn(
+        "_score", F.size(F.array_intersect("_ctx_words", "_chunk_words"))
+    )
+    w = Window.partitionBy("media_ref").orderBy(
+        F.desc("_score"), F.asc("cand_chunk_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "media_ref",
+            "doc_id",
+            "caption",
+            "context",
+            "chunk_order_index",
+            F.col("cand_chunk_id").alias("chunk_id"),
+            "segmentation",
+        )
+    )

@@ -1,0 +1,140 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1 re-expressed Spark-first).
+
+documents -> spans -> [chunks || media spans] -> mention/triple extraction ->
+global A1/A2 merge -> scene graphs -> fusion (blocking -> spectral -> judge ->
+CC -> contraction) -> canonical entities/edges/triples.
+
+Each stage is a DataFrame; stage checkpointing to snapshot tables lives in
+plans/checkpoint.py (run_pipeline_checkpointed). Documents are hash-partitioned
+by doc_id up front (the north rule's layout); everything doc-local (chunking,
+context windows, J2/J3 joins) then reuses that partitioning or shuffles once on
+doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.operators import extract as X
+from mmgraphrag_spark.operators import fusion as FU
+from mmgraphrag_spark.operators import merge as M
+from mmgraphrag_spark.operators import scene as SC
+from mmgraphrag_spark.operators import spans as S
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    extractor=None,
+    scene_backend=None,
+    llm_cache: DataFrame | None = None,
+    doc_partitions: int | None = None,
+    fusion_window: int = 1,
+    max_block: int = 2000,
+) -> dict:
+    """Returns {"chunks", "media_spans", "entities", "edges", "triples",
+    "aliases", "mentions"} DataFrames."""
+    if doc_partitions:
+        documents = documents.repartition(doc_partitions, "doc_id")
+
+    spans = S.explode_spans(documents)
+    occurrences = S.chunk_occurrences(spans)
+    chunks = S.chunk_text_spans(spans)
+    media = S.media_spans_with_context(spans)
+    media = S.associate_media_to_chunks(media, chunks)
+
+    mentions = X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
+    ents_m, rels_m = X.parse_mentions(mentions)
+
+    objects = SC.detect_scene_objects(media, backend=scene_backend)
+    img_ents_m, img_rels_m = SC.scene_graph(media, objects)
+
+    all_ents_m = ents_m.unionByName(img_ents_m)
+    all_rels_m = rels_m.unionByName(img_rels_m)
+
+    entities = M.merge_entities(all_ents_m)
+    edges = M.merge_edges(all_rels_m)
+    entities = M.add_dangling_entities(entities, edges)
+    entities = M.summarize_long_descriptions(entities)
+
+    # entities/edges feed fusion blocking, contraction, and the final outputs —
+    # persist so the extractor/scene UDF stages run exactly once
+    entities = entities.persist()
+    edges = edges.persist()
+
+    aliases = build_aliases(
+        entities, edges, ents_m, img_ents_m, media, occurrences,
+        window=fusion_window, max_block=max_block,
+    )
+    entities_f, edges_f = FU.contract(entities, edges, aliases)
+    triples = M.triples_view(edges_f)
+
+    return {
+        "spans": spans,
+        "chunks": chunks,
+        "media_spans": media,
+        "mentions": mentions,
+        "entities": entities_f,
+        "edges": edges_f,
+        "triples": triples,
+        "aliases": aliases,
+        "entities_prefusion": entities,
+        "edges_prefusion": edges,
+    }
+
+def build_aliases(
+    entities: DataFrame,
+    edges: DataFrame,
+    ents_m: DataFrame,
+    img_ents_m: DataFrame,
+    media: DataFrame,
+    occurrences: DataFrame,
+    window: int = 1,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Fusion stages 1-4 -> alias map (alias -> canonical)."""
+    # text entity occurrences: every (entity, source chunk) mention joined to the
+    # chunk's per-doc occurrence positions (handles deduplicated chunks that
+    # occur in several docs)
+    text_occ = (
+        ents_m.select("entity_name", F.col("source_id").alias("chunk_id"))
+        .distinct()
+        .join(
+            occurrences.select("chunk_id", "doc_id", "chunk_order_index"),
+            "chunk_id",
+        )
+        .join(entities.select("entity_name", "description"), "entity_name")
+        .select("entity_name", "description", "doc_id", "chunk_order_index")
+    )
+    # image-side members: all entities sourced from each media span, positioned
+    # at the media span's offset
+    img_members = (
+        img_ents_m.select("entity_name", F.col("source_id").alias("media_ref"))
+        .distinct()
+        .join(
+            media.select("media_ref", "doc_id", "chunk_order_index"), "media_ref"
+        )
+        .join(entities.select("entity_name", "description"), "entity_name")
+        .select(
+            F.col("media_ref").alias("block_id"),
+            "doc_id",
+            "chunk_order_index",
+            "entity_name",
+            "description",
+        )
+    )
+    members = FU.neighborhood_blocks(img_members, text_occ, window=window)
+    members = FU.cap_blocks(members, max_block=max_block)
+    # within-block known relationships for Gram reweighting (M3)
+    m1 = members.select("block_id", F.col("entity_name").alias("src"))
+    m2 = members.select("block_id", F.col("entity_name").alias("tgt"))
+    block_edges = (
+        edges.select("src", "tgt", "weight")
+        .join(m1, "src")
+        .join(m2, ["block_id", "tgt"])
+        .select("block_id", "src", "tgt", "weight")
+    )
+    clustered = FU.spectral_cluster_blocks(members, block_edges)
+    pairs = FU.judge_alignment(clustered)
+    # alias pairs are consumed by the CC loop (multiple actions) — persist
+    return FU.alias_map(pairs.persist(), entities)
