@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline end-to-end on
+sf0.001. ``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup / similarity /
+text analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+
+The KG queries run the REAL pipeline (extraction UDF -> A1/A2 merge -> scene
+graphs -> spectral fusion -> contraction) over an interleaved corpus derived
+deterministically from the flat ``documents`` table
+(mmgraphrag_spark/sources/documents.py): every derived value is a closed-form
+function of doc_id, so even the post-fusion triple set has an exact ANSI-SQL
+oracle. Fusion behavior that is NOT closed-form (rich corpora) is covered by
+pytest against the pure-Python oracle in mmgraphrag_spark/datagen.py.
 """
 
 from __future__ import annotations
@@ -12,27 +19,846 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# inputs
+# ---------------------------------------------------------------------------
+
+def _flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mmgraphrag_spark.sources.documents import read_interleaved
+
+    return read_interleaved(spark, sf_dir)
+
+
+def _kg(spark: SparkSession, sf_dir: str) -> dict:
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, _interleaved(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship end-to-end KG construction
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """documents -> spans -> chunks/media -> extract -> merge -> scene ->
+    fusion -> canonical (subj, pred, obj, weight) triples, at sf0.001."""
+    return _kg(spark, "/root/testdata/sf0.001")["triples"].orderBy("subj", "obj")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_spans_sequence(spark, sf_dir):
+    """Input_hint per-row invariant: span sequence (kind, text, media_ref, offset)."""
+    from mmgraphrag_spark.operators.spans import explode_spans
+
+    return explode_spans(_interleaved(spark, sf_dir)).select(
+        "doc_id", "span_pos", "kind", "text", "media_ref", "offset"
+    )
+
+
+def _q_kg_triples(spark, sf_dir):
+    return _kg(spark, sf_dir)["triples"].select("subj", "pred", "obj", "weight")
+
+
+def _q_kg_entities(spark, sf_dir):
+    ents = _kg(spark, sf_dir)["entities"]
+    return ents.select(
+        "entity_name",
+        "entity_type",
+        F.size("source_ids").cast("bigint").alias("n_sources"),
+    )
+
+
+def _q_kg_aliases(spark, sf_dir):
+    return _kg(spark, sf_dir)["aliases"].select("alias", "canonical")
+
+
+def _q_c1_chunking(spark, sf_dir):
+    from mmgraphrag_spark.operators.spans import chunk_text_spans
+
+    flat = _flat(spark, sf_dir)
+    spans = flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("kind"),
+        F.col("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return chunk_text_spans(spans, max_tokens=32, overlap=8).select(
+        "chunk_id", "content", F.col("tokens").cast("bigint").alias("tokens")
+    ).distinct()
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_flat(spark, sf_dir), "doc_id", "text").select(
+        "content_hash", F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_dupes").cast("bigint").alias("n_dupes")
+    )
+
+
+def _q_minhash_bands(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _flat(spark, sf_dir), "doc_id", "text", bands=4, rows_per_band=2
+    ).select(F.col("id").cast("bigint").alias("id"), F.col("band").cast("bigint").alias("band"), "sig")
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_flat(spark, sf_dir), "doc_id", "text", bands=4, rows_per_band=2)
+    return lsh_candidate_pairs(sigs).select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import simhash
+
+    return simhash(_flat(spark, sf_dir), "doc_id", "text", bits=32).select(
+        F.col("id").cast("bigint").alias("id"), "simhash"
+    )
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import jaccard_verify
+
+    flat = _flat(spark, sf_dir)
+    ids = flat.select("doc_id")
+    pairs = (
+        flat.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(ids.withColumnRenamed("doc_id", "b"), "b")
+    )
+    out = jaccard_verify(pairs, flat, "doc_id", "text", shingle_len=3, threshold=0.0)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from mmgraphrag_spark.operators.textstats import language_id
+
+    return language_id(_flat(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"), "lang", F.col("score").cast("bigint").alias("score")
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from mmgraphrag_spark.operators.textstats import quality_features
+
+    q = quality_features(_flat(spark, sf_dir), "doc_id", "text")
+    return q.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    from mmgraphrag_spark.operators.textstats import token_counts
+
+    return token_counts(_flat(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from mmgraphrag_spark.operators.textstats import fingerprint
+
+    return fingerprint(_flat(spark, sf_dir), "doc_id", "text", shingle_len=5).select(
+        F.col("id").cast("bigint").alias("id"), "fingerprint"
+    )
+
+
+def _q_ann_topk(spark, sf_dir):
+    from mmgraphrag_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=10)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from mmgraphrag_spark.operators.dedup import embedding_near_dups
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    out = embedding_near_dups(emb, threshold=0.9)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def _q_signbit_buckets(spark, sf_dir):
+    from mmgraphrag_spark.operators.similarity import signbit_bucket
+
+    return _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        signbit_bucket(F.col("embedding"), 8).alias("bucket"),
+    )
+
+
+def _q_centroid_dims(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (the SQL oracle does the same)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean"))
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "mean")
+    )
+
+
+def _q_a1_entity_merge(spark, sf_dir):
+    """A1 merge semantics over mention rows derived from events."""
+    from mmgraphrag_spark.operators.merge import merge_entities
+
+    ev = _events(spark, sf_dir)
+    mentions = ev.select(
+        F.concat(F.lit("ENTITY_"), F.col("user_id")).alias("entity_name"),
+        F.upper("event_type").alias("entity_type"),
+        F.concat(F.lit("user "), F.col("user_id"), F.lit(" does "), F.col("event_type")).alias("description"),
+        F.concat(F.lit("chunk-"), F.col("event_id") % 50).alias("source_id"),
+    )
+    out = merge_entities(mentions)
+    return out.select(
+        "entity_name", "entity_type", "description",
+        F.concat_ws("<SEP>", F.array_sort("source_ids")).alias("source_ids"),
+    )
+
+
+def _q_a2_edge_merge(spark, sf_dir):
+    """A2 merge semantics over relation rows derived from events."""
+    from mmgraphrag_spark.operators.merge import merge_edges
+
+    ev = _events(spark, sf_dir)
+    rels = ev.select(
+        F.concat(F.lit("E"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("E"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+        F.concat(F.lit("rel "), F.col("event_type")).alias("description"),
+        (F.col("event_id") % 7 + 1).cast("double").alias("weight"),
+        F.concat(F.lit("chunk-"), F.col("event_id") % 50).alias("source_id"),
+    ).filter(F.col("src") != F.col("tgt"))
+    out = merge_edges(rels)
+    return out.select(
+        "src", "tgt", "weight", "description",
+        F.concat_ws("<SEP>", F.array_sort("source_ids")).alias("source_ids"),
+        F.col("order").cast("bigint").alias("ord"),
+    )
+
+
+def _q_a6_degree(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("u"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+    ).filter(F.col("src") != F.col("tgt")).distinct()
+    nodes = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("tgt").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+
+
+def _q_cc_components(spark, sf_dir):
+    from mmgraphrag_spark.operators.fusion import connected_components
+
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("alias"),
+        F.concat(F.lit("u"), F.col("user_id") % 7).alias("canonical"),
+    ).distinct().filter(F.col("alias") != F.col("canonical"))
+    return connected_components(pairs).select("entity_name", "component")
+
+
+def _q_j1_anti_join(spark, sf_dir):
+    from mmgraphrag_spark.operators.spans import filter_new_keys
+
+    ev = _events(spark, sf_dir)
+    existing = ev.filter(F.col("user_id") % 3 == 0).select("user_id").distinct()
+    return filter_new_keys(ev, existing, "user_id").select(
+        F.col("event_id").cast("bigint").alias("event_id")
+    )
+
+
+def _q_a10_token_budget(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("cum", F.sum("value").over(w))
+        .filter(F.col("cum") <= 500.0)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+        )
+    )
+
+
+def _q_w4_ranking(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type", "value",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _q_w2_neighbor_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so NTZ->TS->double epoch seconds
+    # (with micro fraction) matches DuckDB's epoch(ts)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .filter(F.col("gap") <= 60.0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_quick"))
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "n_quick")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Rows-only check: multimodal binary-column decode plumbing (feature
+    vectors derive from md5 bytes — not SQL-expressible)."""
+    from mmgraphrag_spark.operators.media import media_features, synth_media_table
+
+    media = synth_media_table(spark, _interleaved(spark, sf_dir))
+    feats = media_features(media)
+    return feats.select(
+        "media_ref", "mime", "width", "height", "n_frames",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    """Rows-only check: sign-bit LSH approximate top-k (recall vs brute force
+    is asserted in pytest; approximate result has no exact SQL oracle)."""
+    from mmgraphrag_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=10, n_bits=8).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spans_sequence": _q_spans_sequence,
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_aliases": _q_kg_aliases,
+        "c1_chunking": _q_c1_chunking,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_bands": _q_minhash_bands,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "signbit_buckets": _q_signbit_buckets,
+        "centroid_dims": _q_centroid_dims,
+        "a1_entity_merge": _q_a1_entity_merge,
+        "a2_edge_merge": _q_a2_edge_merge,
+        "a6_degree": _q_a6_degree,
+        "cc_components": _q_cc_components,
+        "j1_anti_join": _q_j1_anti_join,
+        "a10_token_budget": _q_a10_token_budget,
+        "w4_ranking": _q_w4_ranking,
+        "w2_neighbor_window": _q_w2_neighbor_window,
+        "media_features": _q_media_features,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Shared fragments are python-interpolated for clarity.
+# ---------------------------------------------------------------------------
+
+# word tokens matching operators.dedup.word_tokens
+_TOKS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+)
+
+# the closed-form grammar text of sources/documents.derived_grammar
+_TYPE_CASE = (
+    "CASE (doc_id % 50) % 4 WHEN 0 THEN 'ORGANIZATION' WHEN 1 THEN 'PERSON' "
+    "WHEN 2 THEN 'GEO' ELSE 'EVENT' END"
+)
+_GRAMMAR = (
+    "'ENTITY_' || (doc_id % 50) || ' is a ' || " + _TYPE_CASE +
+    " || ' associated with topic_' || (doc_id % 7) || '.'"
+    " || ' ENTITY_' || (doc_id % 50) || ' RELATES_TO ENTITY_' || ((3 * (doc_id % 50) + 1) % 50)"
+    " || ' (w=' || (doc_id % 9 + 1) || ') regarding topic_' || (doc_id % 7) || '.'"
+    " || ' ENTITY_' || ((3 * (doc_id % 50) + 1) % 50) || ' RELATES_TO ENTITY_' || (50 + (doc_id % 50) % 5)"
+    " || ' (w=1) regarding topic_' || (doc_id % 7) || '.'"
+)
+
+# distinct grammar groups: m = doc_id % 3150 (lcm(50,7,9)); all derived values
+# are functions of m
+_KG_BASE = f"""
+WITH mg AS (SELECT DISTINCT doc_id % 3150 AS m FROM documents),
+par AS (
+  SELECT m % 50 AS k, (3 * (m % 50) + 1) % 50 AS b, 50 + (m % 50) % 5 AS u,
+         m % 7 AS t, m % 9 + 1 AS w
+  FROM mg
+),
+eall AS (
+  SELECT least('"ENTITY_' || k || '"', '"ENTITY_' || b || '"') AS src,
+         greatest('"ENTITY_' || k || '"', '"ENTITY_' || b || '"') AS tgt,
+         'relates regarding topic_' || t AS d, w
+  FROM par
+  UNION ALL
+  SELECT least('"ENTITY_' || b || '"', '"ENTITY_' || u || '"'),
+         greatest('"ENTITY_' || b || '"', '"ENTITY_' || u || '"'),
+         'relates regarding topic_' || t, 1
+  FROM par
+),
+text_edges AS (
+  SELECT src, tgt, string_agg(DISTINCT d, '<SEP>' ORDER BY d) AS pred,
+         CAST(sum(w) AS DOUBLE) AS weight
+  FROM eall GROUP BY src, tgt
+),
+imgdocs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 40 = 0),
+contain_edges AS (
+  SELECT least('"ENTITY_' || (doc_id % 50) || '"', '"IMG_img://doc-' || doc_id || '/0"') AS src,
+         greatest('"ENTITY_' || (doc_id % 50) || '"', '"IMG_img://doc-' || doc_id || '/0"') AS tgt,
+         'contains' AS pred, CAST(10.0 AS DOUBLE) AS weight
+  FROM imgdocs
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["spans_sequence"] = f"""
+SELECT 'doc-' || doc_id AS doc_id, 0 AS span_pos, 'text' AS kind, text,
+       '' AS media_ref, 0 AS "offset"
+FROM documents
+UNION ALL
+SELECT 'doc-' || doc_id, 1, 'text', {_GRAMMAR}, '', 1 FROM documents
+UNION ALL
+SELECT 'doc-' || doc_id, 2, 'image', 'Figure: ENTITY_' || (doc_id % 50) || '.',
+       'img://doc-' || doc_id || '/0', 2
+FROM documents WHERE doc_id % 40 = 0
+"""
+
+    sql["kg_triples"] = _KG_BASE + """
+SELECT src AS subj, pred, tgt AS obj, weight FROM text_edges
+UNION ALL
+SELECT src, pred, tgt, weight FROM contain_edges
+"""
+
+    sql["kg_entities"] = _KG_BASE + """
+, ksrc AS (SELECT m % 50 AS k, count(*) AS n_chunks FROM mg GROUP BY 1),
+kimg AS (SELECT doc_id % 50 AS k, count(*) AS n_media FROM imgdocs GROUP BY 1)
+SELECT '"ENTITY_' || ksrc.k || '"' AS entity_name,
+       '"' || CASE ksrc.k % 4 WHEN 0 THEN 'ORGANIZATION' WHEN 1 THEN 'PERSON'
+              WHEN 2 THEN 'GEO' ELSE 'EVENT' END || '"' AS entity_type,
+       CAST(ksrc.n_chunks + COALESCE(kimg.n_media, 0) AS BIGINT) AS n_sources
+FROM ksrc LEFT JOIN kimg ON ksrc.k = kimg.k
+UNION ALL
+SELECT DISTINCT '"ENTITY_' || u || '"', '"UNKNOWN"', 0 FROM par
+UNION ALL
+SELECT '"IMG_img://doc-' || doc_id || '/0"', '"ORI_IMG"', 1 FROM imgdocs
+"""
+
+    sql["kg_aliases"] = """
+SELECT DISTINCT '"ENTITY_' || (doc_id % 50) || ' (IMAGE)"' AS alias,
+       '"ENTITY_' || (doc_id % 50) || '"' AS canonical
+FROM documents WHERE doc_id % 40 = 0
+"""
+
+    clean = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(trim(text),"
+        "'&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',''''),"
+        "'[\\x00-\\x1f\\x7f-\\x9f]', '', 'g'))"
+    )
+    sql["c1_chunking"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({clean}, '\\s+') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS s
+  FROM t
+),
+chunks AS (
+  SELECT array_to_string(w[s + 1 : s + 32], ' ') AS content,
+         len(w[s + 1 : s + 32]) AS tokens
+  FROM starts
+)
+SELECT DISTINCT 'chunk-' || md5(content) AS chunk_id, content,
+       CAST(tokens AS BIGINT) AS tokens
+FROM chunks WHERE tokens > 0
+"""
+
+    sql["exact_dedup"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+    _SHINGLES3 = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS o, len(w) AS n FROM t),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.o = a.o + 2
+  WHERE a.n >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM t WHERE len(w) < 3
+)
+"""
+    sql["minhash_bands"] = _SHINGLES3 + """
+SELECT sh.doc_id AS id, bands.band AS band,
+       min(md5('seed' || (bands.band * 2) || ':' || s)) || '|' ||
+       min(md5('seed' || (bands.band * 2 + 1) || ':' || s)) AS sig
+FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
+GROUP BY 1, 2
+"""
+
+    sql["lsh_pairs"] = _SHINGLES3 + """
+, sigs AS (
+  SELECT sh.doc_id AS id, bands.band AS band,
+         min(md5('seed' || (bands.band * 2) || ':' || s)) || '|' ||
+         min(md5('seed' || (bands.band * 2 + 1) || ':' || s)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
+  GROUP BY 1, 2
+)
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+"""
+
+    sql["simhash"] = f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN ascii(substr(md5(tk), bb.b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
+  GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1
+"""
+
+    sql["jaccard_pairs"] = _SHINGLES3 + """
+, pairs AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+  WHERE d.doc_id % 5 = 0 AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b,
+       round(CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)), 6) AS jaccard
+FROM pairs p
+JOIN cnt na ON na.doc_id = p.a
+JOIN cnt nb ON nb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+    _LTOKS = (
+        "string_split_regex(trim(regexp_replace(lower(text), '[^a-z一-鿿 ]', ' ', 'g')), ' +')"
+    )
+    markers = {
+        "en": "['the','and','of','to','is','in','that','with']",
+        "es": "['el','la','de','que','los','una','con','por']",
+        "fr": "['le','les','des','est','une','dans','pour','sur']",
+        "de": "['der','die','und','das','ist','nicht','mit','ein']",
+    }
+    hit_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_intersect(list_distinct(w), {arr})) AS hits FROM t"
+        for lang, arr in sorted(markers.items())
+    )
+    sql["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, {_LTOKS} AS w,
+         len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         len(string_split_regex(trim(text), '\\s+')) AS ws
+  FROM documents
+),
+h AS ({hit_rows}),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM h
+)
+SELECT t.doc_id AS id,
+       CASE WHEN t.cjk * 2 >= t.ws THEN 'zh'
+            WHEN b.hits = 0 THEN 'und' ELSE b.lang END AS lang,
+       CAST(greatest(b.hits, t.cjk) AS BIGINT) AS score
+FROM t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+"""
+
+    en = markers["en"]
+    sql["quality"] = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter({_TOKS}, x -> list_contains({en}, x))) AS n_stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_len,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_len, 4) AS mean_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(CAST(
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN stop_ratio >= 0.05 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+FROM f
+"""
+
+    sql["token_counts"] = """
+SELECT doc_id AS id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+    sql["fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS o, len(w) AS n FROM t),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk || ' ' || d.tk || ' ' || e.tk AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.o = a.o + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.o = a.o + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.o = a.o + 4
+  WHERE a.n >= 5
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM t WHERE len(w) < 5
+)
+SELECT doc_id AS id, min(md5(s)) AS fingerprint FROM sh GROUP BY 1
+"""
+
+    _COS_PAIRS = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+p AS (SELECT qid, nid, qe, ce FROM q CROSS JOIN c WHERE qid <> nid),
+u AS (SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS qx, CAST(unnest(ce) AS DOUBLE) AS cx FROM p),
+s AS (
+  SELECT qid, nid, sum(qx * cx) AS dot,
+         sqrt(sum(qx * qx)) AS nq, sqrt(sum(cx * cx)) AS nc
+  FROM u GROUP BY 1, 2
+)
+"""
+    sql["ann_topk"] = _COS_PAIRS + """
+SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc + 1e-12) DESC, nid ASC) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+    sql["embedding_near_dups"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+u AS (SELECT a, b, CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+s AS (
+  SELECT a, b, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cosine
+  FROM u GROUP BY 1, 2
+)
+SELECT a, b, round(cosine, 4) AS cosine FROM s WHERE cosine >= 0.9
+"""
+
+    sql["signbit_buckets"] = """
+WITH u AS (
+  SELECT vec_id, unnest(embedding[1:8]) AS x,
+         generate_subscripts(embedding[1:8], 1) - 1 AS i
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN x >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM u GROUP BY 1
+"""
+
+    sql["centroid_dims"] = """
+WITH u AS (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS mean
+FROM u GROUP BY 1, 2
+"""
+
+    sql["a1_entity_merge"] = """
+WITH m AS (
+  SELECT 'ENTITY_' || user_id AS entity_name, upper(event_type) AS entity_type,
+         'user ' || user_id || ' does ' || event_type AS description,
+         'chunk-' || (event_id % 50) AS source_id
+  FROM events
+),
+per_type AS (
+  SELECT entity_name, entity_type, count(*) AS cnt FROM m GROUP BY 1, 2
+),
+modal AS (
+  SELECT entity_name, entity_type FROM (
+    SELECT entity_name, entity_type,
+           row_number() OVER (PARTITION BY entity_name ORDER BY cnt DESC, entity_type ASC) AS rn
+    FROM per_type
+  ) WHERE rn = 1
+)
+SELECT m.entity_name, modal.entity_type,
+       string_agg(DISTINCT m.description, '<SEP>' ORDER BY m.description) AS description,
+       string_agg(DISTINCT m.source_id, '<SEP>' ORDER BY m.source_id) AS source_ids
+FROM m JOIN modal ON modal.entity_name = m.entity_name
+GROUP BY 1, 2
+"""
+
+    sql["a2_edge_merge"] = """
+WITH r AS (
+  SELECT 'E' || user_id AS s0, 'E' || ((user_id * 3 + 1) % 25) AS t0,
+         'rel ' || event_type AS description,
+         CAST(event_id % 7 + 1 AS DOUBLE) AS weight,
+         'chunk-' || (event_id % 50) AS source_id
+  FROM events
+  WHERE 'E' || user_id <> 'E' || ((user_id * 3 + 1) % 25)
+)
+SELECT least(s0, t0) AS src, greatest(s0, t0) AS tgt,
+       sum(weight) AS weight,
+       string_agg(DISTINCT description, '<SEP>' ORDER BY description) AS description,
+       string_agg(DISTINCT source_id, '<SEP>' ORDER BY source_id) AS source_ids,
+       CAST(1 AS BIGINT) AS ord
+FROM r GROUP BY 1, 2
+"""
+
+    sql["a6_degree"] = """
+WITH e AS (
+  SELECT DISTINCT 'u' || user_id AS src, 'u' || ((user_id * 3 + 1) % 25) AS tgt
+  FROM events
+  WHERE 'u' || user_id <> 'u' || ((user_id * 3 + 1) % 25)
+),
+n AS (SELECT src AS node FROM e UNION ALL SELECT tgt FROM e)
+SELECT node, count(*) AS degree FROM n GROUP BY 1
+"""
+
+    sql["cc_components"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS uid, user_id % 7 AS root FROM events
+  WHERE user_id <> user_id % 7
+),
+members AS (
+  SELECT uid, root FROM pairs
+  UNION
+  SELECT DISTINCT root, root FROM pairs
+),
+mins AS (SELECT root, min('u' || uid) AS comp FROM members GROUP BY 1)
+SELECT 'u' || m.uid AS entity_name, mins.comp AS component
+FROM members m JOIN mins ON mins.root = m.root
+"""
+
+    sql["j1_anti_join"] = """
+SELECT event_id FROM events
+WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+"""
+
+    sql["a10_token_budget"] = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+) WHERE cum <= 500.0
+"""
+
+    sql["w4_ranking"] = """
+SELECT event_id, event_type, value, rnk FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 5
+"""
+
+    sql["w2_neighbor_window"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_quick FROM g WHERE gap <= 60.0 GROUP BY 1
+"""
+
+    return sql

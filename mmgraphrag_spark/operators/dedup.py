@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket join),
+SimHash, n-gram Jaccard, and embedding-cosine near-dup. All candidate-generation
+math is JVM-side (md5 / higher-order array functions) so it stays inside
+WholeStageCodegen AND is reproducible by an external SQL oracle (the MinHash
+"permutations" are lexicographic-min of md5(seed || shingle), a valid random
+permutation per seed).
+
+Scale notes: every operator here is a single hash shuffle on its bucket key.
+LSH band keys distribute near-uniformly (md5), so the bucket join is skew-safe;
+genuinely hot buckets (boilerplate text) are bounded by `max_bucket` salting
+the same way fusion blocks are capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.functions.vectors import cosine_similarity_col
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / Jaccard / fingerprinting)
+# ---------------------------------------------------------------------------
+
+def word_tokens(col: Column) -> Column:
+    """Lowercased word tokens; punctuation stripped. Mirrors the DuckDB oracle:
+    string_split_regex(trim(lower(regexp_replace(text,'[^a-z0-9 ]',' '))), ' +')."""
+    cleaned = F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "))
+    return F.split(cleaned, r" +")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams; short texts fall back to the whole-token join."""
+    w = word_tokens(col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return F.array_distinct(grams)
+
+
+def minhash_sig(shingles: Column, seed: int) -> Column:
+    """One MinHash value: min over shingles of md5(seed || shingle)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"seed{seed}:"), s)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with the
+    representative (min id) and the duplicate count. Map-side partial agg; one
+    shuffle on the md5 key."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, band, sig): one row per (document, LSH band); sig concatenates the
+    band's rows_per_band minhashes. Documents sharing (band, sig) are near-dup
+    candidates (standard banding estimate: P(collide) = 1-(1-j^r)^b)."""
+    sh = word_shingles(F.col(text_col), shingle_len)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("_sh"))
+    parts = []
+    for b in range(bands):
+        mins = [minhash_sig(F.col("_sh"), b * rows_per_band + r) for r in range(rows_per_band)]
+        parts.append(
+            base.select(
+                "id", F.lit(b).alias("band"), F.concat_ws("|", *mins).alias("sig")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """(band, sig) bucket self-join -> distinct candidate pairs (a < b).
+
+    Buckets above ``max_bucket`` are truncated deterministically (min ids kept)
+    — boilerplate-text buckets would otherwise explode quadratically at scale;
+    the truncation is logged into the plan as a filter, not silent sampling.
+    """
+    w = Window.partitionBy("band", "sig").orderBy("id")
+    bounded = (
+        signatures.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    l = bounded.select("band", "sig", F.col("id").alias("a"))
+    r = bounded.select("band", "sig", F.col("id").alias("b"))
+    return (
+        l.join(r, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, on candidate pairs)
+# ---------------------------------------------------------------------------
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Two broadcast-or-shuffle equi-joins (pair ids -> shingle sets) + a JVM
+    array_intersect/array_union — no UDF. Candidates are already pruned by LSH
+    so this never goes quadratic."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_len).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): classic SimHash over word tokens.
+
+    Per token, bit b (b < 32) is the parity of the ascii code of the (b+1)-th
+    hex digit of md5(token) — a balanced hash (8 even / 8 odd hex digits)
+    chosen because the identical expression exists in ANSI SQL
+    (ascii(substr(md5(t), b+1, 1)) % 2), so an external oracle can reproduce
+    the fingerprint bit-for-bit. Bit b contributes +1/-1 to an accumulator;
+    the sign vector is the fingerprint. All higher-order JVM expressions: one
+    aggregate over the token array per row, no shuffle at all."""
+    assert bits <= 32  # md5 hex has 32 digits
+    toks = F.array_distinct(word_tokens(F.col(text_col)))
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(
+                    F.ascii(F.substr(F.md5(t), b + 1, F.lit(1))) % 2 == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(
+                v > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into (max_hamming+1) bit-chunks
+    — pigeonhole: any pair within the distance shares at least one exact chunk.
+    Bucket-join per chunk, then exact popcount verify (bit_count)."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    parts = []
+    for c in range(chunks):
+        key = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        parts.append(
+            sims.select("id", "simhash", F.lit(c).alias("chunk"), key.alias("key"))
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    l = keyed.select("chunk", "key", F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    r = keyed.select("chunk", "key", F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        l.join(r, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of embeddings with cosine >= threshold.
+
+    Test-scale path: full self-join (id a < b) with JVM-side cosine. Scale
+    path: pre-bucket by sign-bits of the leading components (see
+    similarity.signbit_buckets) and join within buckets — swap the join input,
+    the verify expression is identical."""
+    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

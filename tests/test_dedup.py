@@ -1,0 +1,72 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, Jaccard, embedding-cosine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark.operators import dedup as D
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills today"
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills tonight"
+    )
+    other = "completely unrelated content about spark shuffles and partitions here"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["id", "text"]
+    )
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = D.exact_dedup_groups(df, "id", "text").collect()
+    assert sorted((g.keep_id, g.n_dupes) for g in groups) == [(1, 2), (3, 1), (4, 1)]
+    kept = D.exact_dedup(df, "id", "text")
+    assert sorted(r.id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs(spark)
+    sigs = D.minhash_signatures(df, "id", "text", bands=4, rows_per_band=2)
+    assert sigs.count() == 4 * 4  # one row per (doc, band)
+    pairs = {(p.a, p.b) for p in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught by some band
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_verify(spark):
+    df = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["a", "b"])
+    got = {(r.a, r.b): r.jaccard for r in D.jaccard_verify(pairs, df, "id", "text", threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_and_near_dups(spark):
+    df = _docs(spark)
+    sims = D.simhash(df, "id", "text")
+    vals = {r.id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2]
+    # near-dup shares most bits; unrelated differs in many
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(vals[1], vals[3]) < ham(vals[1], vals[4])
+    pairs = {(p.a, p.b): p.hamming for p in D.simhash_near_dups(sims, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.a, r.b) for r in D.embedding_near_dups(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
