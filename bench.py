@@ -1,0 +1,108 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...,
+     "kg_triples_per_sec": ..., "kg_docs_per_sec": ...}
+
+The KG pipeline is the headline: documents -> spans -> chunks/media ->
+extraction UDF -> A1/A2 merge -> scene graphs -> spectral fusion -> contraction
+-> triples. SPARK_GRAFT_REPLICAS (default 1) unions tag-distinguished copies of
+the corpus to scale input volume without changing semantics per copy.
+
+Scaling-efficiency evidence (north rule N -> 4N): run scripts/scaling_bench.py,
+which executes THIS pipeline at two parallelism levels and reports throughput +
+efficiency into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scaled_documents(spark, sf_dir: str, replicas: int):
+    from pyspark.sql import functions as F
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicas > 1:
+        n = flat.count()
+        flat = flat.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
+        ).select(
+            (F.col("doc_id") + F.col("r") * n).alias("doc_id"),
+            # tag keeps replica text distinct so chunk-dedup doesn't collapse the volume
+            F.concat(F.col("text"), F.lit(" replica "), F.col("r")).alias("text"),
+        )
+    return flat
+
+
+def run_kg_pipeline(spark, sf_dir: str, replicas: int = 1) -> dict:
+    """Returns {"seconds", "n_triples", "n_docs"}."""
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.sources.documents import interleave_from_flat
+
+    flat = _scaled_documents(spark, sf_dir, replicas)
+    n_docs = flat.count()
+    docs = interleave_from_flat(flat)
+    t0 = time.monotonic()
+    out = run_pipeline(spark, docs)
+    n_triples = out["triples"].count()
+    dt = time.monotonic() - t0
+    return {"seconds": dt, "n_triples": n_triples, "n_docs": n_docs}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "1"))
+
+    from mmgraphrag_spark.session import build_session
+
+    spark = build_session("bench", cpus=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+
+    kg = run_kg_pipeline(spark, sf_dir, replicas)
+    timings["kg_pipeline"] = round(kg["seconds"], 3)
+
+    bench_queries = [
+        "c1_chunking", "exact_dedup", "minhash_bands", "lsh_pairs", "simhash",
+        "lang_id", "quality", "token_counts", "fingerprint",
+        "ann_topk", "lsh_ann_topk", "embedding_near_dups", "centroid_dims",
+        "a1_entity_merge", "a2_edge_merge", "a10_token_budget", "w4_ranking",
+        "media_features",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "replicas": replicas,
+        "kg_n_docs": kg["n_docs"],
+        "kg_n_triples": kg["n_triples"],
+        "kg_docs_per_sec": round(kg["n_docs"] / kg["seconds"], 2),
+        "kg_triples_per_sec": round(kg["n_triples"] / kg["seconds"], 2),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,9 @@ def lsh_candidate_pairs(
         signatures.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
+        # consumed twice by the self-join below; materialize once and cut the
+        # (md5-transform-heavy) plan so Catalyst doesn't analyze it 2x
+        .localCheckpoint()
     )
     l = bounded.select("band", "sig", F.col("id").alias("a"))
     r = bounded.select("band", "sig", F.col("id").alias("b"))

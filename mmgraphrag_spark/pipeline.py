@@ -4,11 +4,13 @@ documents -> spans -> [chunks || media spans] -> mention/triple extraction ->
 global A1/A2 merge -> scene graphs -> fusion (blocking -> spectral -> judge ->
 CC -> contraction) -> canonical entities/edges/triples.
 
-Each stage is a DataFrame; stage checkpointing to snapshot tables lives in
-plans/checkpoint.py (run_pipeline_checkpointed). Documents are hash-partitioned
-by doc_id up front (the north rule's layout); everything doc-local (chunking,
-context windows, J2/J3 joins) then reuses that partitioning or shuffles once on
-doc_id.
+Every named stage goes through a checkpointer (plans/checkpoint.py):
+LocalCheckpointer truncates the logical plan in memory (load-bearing — without
+the cut, Catalyst re-analyzes an exponentially growing tree per action);
+ParquetCheckpointer additionally makes the run durable/resumable (the Iceberg
+snapshot stand-in). Documents are hash-partitioned by doc_id up front (the
+north rule's layout); everything doc-local (chunking, context windows, J2/J3
+joins) then reuses that partitioning or shuffles once on doc_id.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ from mmgraphrag_spark.operators import fusion as FU
 from mmgraphrag_spark.operators import merge as M
 from mmgraphrag_spark.operators import scene as SC
 from mmgraphrag_spark.operators import spans as S
+from mmgraphrag_spark.plans import LocalCheckpointer
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -31,42 +35,53 @@ def run_pipeline(
     doc_partitions: int | None = None,
     fusion_window: int = 1,
     max_block: int = 2000,
+    checkpointer=None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
-    "aliases", "mentions"} DataFrames."""
+    "aliases", "mentions", ...} DataFrames (each a committed stage snapshot)."""
+    cp = checkpointer or LocalCheckpointer()
     if doc_partitions:
         documents = documents.repartition(doc_partitions, "doc_id")
 
     spans = S.explode_spans(documents)
-    occurrences = S.chunk_occurrences(spans)
-    chunks = S.chunk_text_spans(spans)
-    media = S.media_spans_with_context(spans)
-    media = S.associate_media_to_chunks(media, chunks)
+    occurrences = cp.stage("occurrences", S.chunk_occurrences(spans))
+    chunks = cp.stage("chunks", S.chunk_text_spans(spans))
+    media = cp.stage(
+        "media_spans",
+        S.associate_media_to_chunks(S.media_spans_with_context(spans), chunks),
+    )
 
-    mentions = X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
+    mentions = cp.stage(
+        "mentions", X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
+    )
     ents_m, rels_m = X.parse_mentions(mentions)
+    ents_m = cp.stage("entity_mentions", ents_m)
+    rels_m = cp.stage("relation_mentions", rels_m)
 
-    objects = SC.detect_scene_objects(media, backend=scene_backend)
+    objects = cp.stage(
+        "scene_objects", SC.detect_scene_objects(media, backend=scene_backend)
+    )
     img_ents_m, img_rels_m = SC.scene_graph(media, objects)
+    img_ents_m = cp.stage("image_entity_mentions", img_ents_m)
+    img_rels_m = cp.stage("image_relation_mentions", img_rels_m)
 
     all_ents_m = ents_m.unionByName(img_ents_m)
     all_rels_m = rels_m.unionByName(img_rels_m)
 
+    edges = cp.stage("edges_prefusion", M.merge_edges(all_rels_m))
     entities = M.merge_entities(all_ents_m)
-    edges = M.merge_edges(all_rels_m)
     entities = M.add_dangling_entities(entities, edges)
-    entities = M.summarize_long_descriptions(entities)
-
-    # entities/edges feed fusion blocking, contraction, and the final outputs —
-    # persist so the extractor/scene UDF stages run exactly once
-    entities = entities.persist()
-    edges = edges.persist()
+    entities = cp.stage(
+        "entities_prefusion", M.summarize_long_descriptions(entities)
+    )
 
     aliases = build_aliases(
         entities, edges, ents_m, img_ents_m, media, occurrences,
-        window=fusion_window, max_block=max_block,
+        window=fusion_window, max_block=max_block, checkpointer=cp,
     )
     entities_f, edges_f = FU.contract(entities, edges, aliases)
+    entities_f = cp.stage("entities", entities_f)
+    edges_f = cp.stage("edges", edges_f)
     triples = M.triples_view(edges_f)
 
     return {
@@ -80,7 +95,9 @@ def run_pipeline(
         "aliases": aliases,
         "entities_prefusion": entities,
         "edges_prefusion": edges,
+        "checkpointer": cp,
     }
+
 
 def build_aliases(
     entities: DataFrame,
@@ -91,8 +108,10 @@ def build_aliases(
     occurrences: DataFrame,
     window: int = 1,
     max_block: int = 2000,
+    checkpointer=None,
 ) -> DataFrame:
     """Fusion stages 1-4 -> alias map (alias -> canonical)."""
+    cp = checkpointer or LocalCheckpointer()
     # text entity occurrences: every (entity, source chunk) mention joined to the
     # chunk's per-doc occurrence positions (handles deduplicated chunks that
     # occur in several docs)
@@ -124,7 +143,7 @@ def build_aliases(
         )
     )
     members = FU.neighborhood_blocks(img_members, text_occ, window=window)
-    members = FU.cap_blocks(members, max_block=max_block)
+    members = cp.stage("fusion_blocks", FU.cap_blocks(members, max_block=max_block))
     # within-block known relationships for Gram reweighting (M3)
     m1 = members.select("block_id", F.col("entity_name").alias("src"))
     m2 = members.select("block_id", F.col("entity_name").alias("tgt"))
@@ -134,7 +153,8 @@ def build_aliases(
         .join(m2, ["block_id", "tgt"])
         .select("block_id", "src", "tgt", "weight")
     )
-    clustered = FU.spectral_cluster_blocks(members, block_edges)
-    pairs = FU.judge_alignment(clustered)
-    # alias pairs are consumed by the CC loop (multiple actions) — persist
-    return FU.alias_map(pairs.persist(), entities)
+    clustered = cp.stage(
+        "fusion_clusters", FU.spectral_cluster_blocks(members, block_edges)
+    )
+    pairs = cp.stage("alias_pairs", FU.judge_alignment(clustered))
+    return cp.stage("aliases", FU.alias_map(pairs, entities))
