@@ -95,7 +95,10 @@ def extract_mentions(
     llm.py:81-96) routes hits around the backend; only misses run the UDF.
     """
     backend = backend or DeterministicExtractor()
-    src = chunks.select("chunk_id", "doc_id", "content")
+    # explicit width for the python stage: upstream AQE-coalesced shuffles may
+    # arrive as 1-2 partitions (size-based), which would serialize the UDF
+    n_parts = chunks.sparkSession.sparkContext.defaultParallelism
+    src = chunks.select("chunk_id", "doc_id", "content").repartition(n_parts)
     schema = "chunk_id string, doc_id string, records string"
     if llm_cache is not None:
         keyed = src.withColumn("_h", args_hash(F.col("content")))

@@ -277,13 +277,53 @@ def spectral_cluster_blocks(
         )
         nodes = nodes.unionByName(e)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = _cluster_block(pdf, eps)
-        out.insert(0, "block_id", key[0])
-        return out
+    out_schema = "block_id string, entity_name string, kind string, label long"
 
-    return nodes.groupBy("block_id").applyInPandas(
-        run, "block_id string, entity_name string, kind string, label long"
+    def run_partition(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # Blocks are tiny and numerous; per-group applyInPandas costs ~2-5ms
+        # of pandas/Arrow overhead per group (measured: the fusion stage
+        # barely scaled 8->32 cores). Instead: rows arrive hash-partitioned
+        # and SORTED by block_id, so we stream Arrow batches and cut groups
+        # in-batch with pandas groupby (~50us/group), buffering the possibly
+        # split trailing group across batch boundaries.
+        pending: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for key, grp in pdf.groupby("block_id", sort=False):
+                out = _cluster_block(grp, eps)
+                out.insert(0, "block_id", key)
+                outs.append(out)
+            return (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"block_id": [], "entity_name": [], "kind": [], "label": []}
+                )
+            )
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_key = pdf["block_id"].iloc[-1]
+            complete = pdf[pdf["block_id"] != last_key]
+            pending = pdf[pdf["block_id"] == last_key]
+            if len(complete):
+                yield emit(complete)
+        if pending is not None and len(pending):
+            yield emit(pending)
+
+    # EXPLICIT partition count: AQE would coalesce this tiny shuffle to 1-2
+    # partitions (bytes-based), serializing the python stage — per-row python
+    # cost is invisible to AQE's size heuristic. Explicit N disables coalescing
+    # for this exchange.
+    n_parts = nodes.sparkSession.sparkContext.defaultParallelism
+    return (
+        nodes.repartition(n_parts, "block_id")
+        .sortWithinPartitions("block_id")
+        .mapInPandas(run_partition, out_schema)
     )
 
 # ---------------------------------------------------------------------------
@@ -378,7 +418,30 @@ def alias_map(pairs: DataFrame, entities: DataFrame) -> DataFrame:
     deterministic, replacing the reference's order-dependent sequential fold
     (fusion.py:1004-1020; deviation documented in SURVEY §4).
     """
-    comp = connected_components(pairs)
+    # Fast path: the judge emits one canonical per alias (a functional map).
+    # When no alias also appears as a canonical, the graph is a union of stars
+    # and CC would converge after one round — skip the iterative loop (saves
+    # ~6 driver actions; matters because alias maps are tiny but the loop's
+    # per-round overhead is fixed). Chained/merged groups take the full loop.
+    chained = (
+        pairs.select(F.col("canonical").alias("x"))
+        .join(pairs.select(F.col("alias").alias("x")), "x", "left_semi")
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not chained:
+        comp = (
+            pairs.select(F.col("alias").alias("entity_name"), F.col("canonical").alias("component"))
+            .unionByName(
+                pairs.select(
+                    F.col("canonical").alias("entity_name"), F.col("canonical").alias("component")
+                )
+            )
+            .distinct()
+        )
+    else:
+        comp = connected_components(pairs)
     typed = comp.join(
         entities.select("entity_name", "entity_type"), "entity_name", "left"
     ).withColumn(

@@ -40,12 +40,27 @@ def run_pipeline(
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot)."""
     cp = checkpointer or LocalCheckpointer()
-    if doc_partitions:
+    # Hash-partition documents by doc_id up front (north-rule layout). Without
+    # this, a small parquet source arrives as ~1 input split and the whole
+    # narrow chain (explode -> chunk -> extraction UDF) runs in ONE task.
+    # Skipped when the input is already spread at least as wide as the
+    # default parallelism (e.g. a pre-partitioned upstream table).
+    if doc_partitions is not None:
         documents = documents.repartition(doc_partitions, "doc_id")
+    elif documents.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        documents = documents.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
 
     spans = S.explode_spans(documents)
-    occurrences = cp.stage("occurrences", S.chunk_occurrences(spans))
-    chunks = cp.stage("chunks", S.chunk_text_spans(spans))
+    all_chunk_rows = S.chunk_occurrences(spans)
+    chunks = cp.stage("chunks", S.dedup_chunk_occurrences(all_chunk_rows))
+    # fusion's neighborhood join needs only (chunk_id, position) per occurrence
+    # — dropping content/tokens keeps this snapshot ~10x smaller than chunks
+    occurrences = cp.stage(
+        "occurrences",
+        all_chunk_rows.select("chunk_id", "doc_id", "chunk_order_index"),
+    )
     media = cp.stage(
         "media_spans",
         S.associate_media_to_chunks(S.media_spans_with_context(spans), chunks),
@@ -54,16 +69,13 @@ def run_pipeline(
     mentions = cp.stage(
         "mentions", X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
     )
+    # record parsing is cheap JVM expression work over the committed mentions
+    # snapshot — re-deriving it per consumer beats two more stage commits
     ents_m, rels_m = X.parse_mentions(mentions)
-    ents_m = cp.stage("entity_mentions", ents_m)
-    rels_m = cp.stage("relation_mentions", rels_m)
 
-    objects = cp.stage(
-        "scene_objects", SC.detect_scene_objects(media, backend=scene_backend)
-    )
+    objects = SC.detect_scene_objects(media, backend=scene_backend)
     img_ents_m, img_rels_m = SC.scene_graph(media, objects)
     img_ents_m = cp.stage("image_entity_mentions", img_ents_m)
-    img_rels_m = cp.stage("image_relation_mentions", img_rels_m)
 
     all_ents_m = ents_m.unionByName(img_ents_m)
     all_rels_m = rels_m.unionByName(img_rels_m)

@@ -1,0 +1,266 @@
+"""Local graph-RAG query path (SURVEY.md §3.2; reference query.py:354-469).
+
+Pipeline: embed(question) -> ANN top-k entities (cosine >= threshold, J8/J9/W6)
+-> rehydrate node attrs + degree rank (J10, A6) -> most-related text units
+(seed chunks + 1-hop co-occurrence scoring, J11/J12, W4) -> most-related edges
+(degree+weight rank, W5) -> token-budget truncation (A10) -> three CSV context
+sections (P12) -> answer backend (L11; deterministic template offline).
+
+Embedding backend is the M1 seam: a vectorized pandas UDF. Offline mode uses
+deterministic feature hashing (token -> signed bucket) of the same shape a
+sentence-transformer backend would produce; swap ``embed_fn`` for a real model.
+
+Scale notes: the entity VDB is an embeddings table; ANN is a broadcast of the
+(single) query vector against it — one scan, no shuffle until top-k ranking.
+Degree is a two-way explode + groupBy (one shuffle). All later joins key on
+entity_name / chunk_id with the query-side relation tiny -> broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark import GRAPH_FIELD_SEP
+from mmgraphrag_spark.functions.vectors import cosine_similarity_col
+from mmgraphrag_spark.schema import EMBED_DIM
+
+
+# ---------------------------------------------------------------------------
+# M1: embedding backend (deterministic feature hashing; pluggable)
+# ---------------------------------------------------------------------------
+
+def hash_embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic unit-norm embedding: each token adds +-1 to a hashed
+    bucket (sign from the hash's next byte). Same function drives both the
+    entity VDB and the query vector, so cosine similarity is meaningful."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in (text or "").lower().split():
+        h = hashlib.md5(tok.encode()).digest()
+        v[h[0] % dim] += 1.0 if h[1] % 2 else -1.0
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).tolist()
+
+
+def _embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "entity_name": pdf["entity_name"],
+                "vec": [hash_embed_text(t) for t in pdf["text"]],
+            }
+        )
+
+
+def build_entity_vdb(entities: DataFrame) -> DataFrame:
+    """Entity VDB rows (reference create_EntityVDB, fusion.py:100-153):
+    embed entity_name + description; returns (entity_name, vec)."""
+    src = entities.select(
+        "entity_name",
+        F.concat_ws(" ", "entity_name", "description").alias("text"),
+    )
+    return src.mapInPandas(
+        _embed_batches, f"entity_name string, vec array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval
+# ---------------------------------------------------------------------------
+
+def ann_entities(
+    vdb: DataFrame,
+    query_vec: list[float],
+    top_k: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """J9/W6: cosine >= threshold, top_k by similarity (storage.py:298-323)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vdb.withColumn("sim", cosine_similarity_col(F.col("vec"), q)).filter(
+        F.col("sim") >= threshold
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("entity_name"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("entity_name", "sim", "rnk")
+    )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """A6: degree per node (storage.py:453-460)."""
+    nodes = edges.select(F.col("src").alias("entity_name")).unionAll(
+        edges.select(F.col("tgt").alias("entity_name"))
+    )
+    return nodes.groupBy("entity_name").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def seed_entities(
+    entities: DataFrame, edges: DataFrame, ann: DataFrame
+) -> DataFrame:
+    """J10: rehydrate ANN hits with node attrs + degree (query.py:239-253)."""
+    return (
+        ann.join(entities, "entity_name")
+        .join(node_degrees(edges), "entity_name", "left")
+        .fillna(0, subset=["degree"])
+        .select("entity_name", "entity_type", "description", "source_ids", "sim", "rnk", "degree")
+    )
+
+
+def one_hop_neighbors(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """J11: union of both edge directions from the seed set (query.py:89-108)."""
+    s = F.broadcast(seeds.select("entity_name"))
+    fwd = edges.join(s, edges.src == s.entity_name).select(
+        F.col("src").alias("seed"), F.col("tgt").alias("neighbor")
+    )
+    rev = edges.join(s, edges.tgt == s.entity_name).select(
+        F.col("tgt").alias("seed"), F.col("src").alias("neighbor")
+    )
+    return fwd.unionByName(rev).distinct()
+
+
+def related_text_units(
+    seeds: DataFrame,
+    entities: DataFrame,
+    edges: DataFrame,
+    chunks: DataFrame,
+    budget_tokens: int = 4000,
+) -> DataFrame:
+    """J12 + W4 + A10 (query.py:63-155): seed source chunks scored by how many
+    1-hop neighbors also cite them, ordered (seed rank asc, relation_counts
+    desc), kept while the running token sum fits the budget."""
+    seed_chunks = seeds.select(
+        "entity_name", F.col("rnk"), F.explode("source_ids").alias("chunk_id")
+    ).filter(F.col("chunk_id").startswith("chunk-"))
+    nbr_chunks = (
+        one_hop_neighbors(edges, seeds)
+        .join(
+            entities.select(
+                F.col("entity_name").alias("neighbor"), "source_ids"
+            ),
+            "neighbor",
+        )
+        .select("seed", F.explode("source_ids").alias("chunk_id"))
+    )
+    rel_counts = nbr_chunks.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("relation_counts")
+    )
+    ranked = (
+        seed_chunks.join(rel_counts, "chunk_id", "left")
+        .fillna(0, subset=["relation_counts"])
+        .groupBy("chunk_id")
+        .agg(F.min("rnk").alias("order"), F.max("relation_counts").alias("relation_counts"))
+        .join(chunks.select("chunk_id", "content", "tokens"), "chunk_id")
+    )
+    w = Window.orderBy(F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id"))
+    cum = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_cum") <= budget_tokens)
+    )
+    return cum.select("chunk_id", "content", "order", "relation_counts")
+
+
+def related_edges(
+    seeds: DataFrame, edges: DataFrame, budget_tokens: int = 6000
+) -> DataFrame:
+    """W5 + A10 (query.py:157-209): all seed edges ranked by (edge degree,
+    weight) desc, token-truncated."""
+    deg = node_degrees(edges)
+    s = F.broadcast(seeds.select("entity_name"))
+    seed_edges = (
+        edges.join(
+            s,
+            (edges.src == s.entity_name) | (edges.tgt == s.entity_name),
+            "left_semi",
+        )
+        .join(deg.withColumnRenamed("entity_name", "src").withColumnRenamed("degree", "dsrc"), "src")
+        .join(deg.withColumnRenamed("entity_name", "tgt").withColumnRenamed("degree", "dtgt"), "tgt")
+        .withColumn("edge_rank", F.col("dsrc") + F.col("dtgt"))
+    )
+    w = Window.orderBy(F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt"))
+    toks = F.size(F.split(F.col("description"), r"\s+"))
+    return (
+        seed_edges.withColumn("_tok", toks)
+        .withColumn(
+            "_cum",
+            F.sum("_tok").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_cum") <= budget_tokens)
+        .select("src", "tgt", "description", "weight", "edge_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# context assembly + answer
+# ---------------------------------------------------------------------------
+
+def _csv_section(df: DataFrame, cols: list[str], title: str) -> str:
+    """P12: list-of-list -> ',\\t'-joined CSV text (base.py:259-265)."""
+    rows = df.select(*cols).collect()
+    lines = [",\t".join(cols)]
+    for i, r in enumerate(rows):
+        lines.append(",\t".join([str(i)] + [str(r[c]) for c in cols]))
+    return f"-----{title}-----\n" + "\n".join(lines)
+
+
+def assemble_context(seeds, text_units, edge_rows) -> str:
+    """query.py:264-311: three sections — entities, relationships, sources."""
+    return "\n".join(
+        [
+            _csv_section(seeds, ["entity_name", "entity_type", "description", "degree"], "Entities"),
+            _csv_section(edge_rows, ["src", "tgt", "description", "weight", "edge_rank"], "Relationships"),
+            _csv_section(text_units, ["content", "order", "relation_counts"], "Sources"),
+        ]
+    )
+
+
+class TemplateAnswerer:
+    """Deterministic offline stand-in for the RAG answer LLM (L11)."""
+
+    def answer(self, question: str, context: str) -> str:
+        top = context.splitlines()[2] if len(context.splitlines()) > 2 else ""
+        return f"Q: {question}\nTop evidence: {top}"
+
+
+def local_query(
+    spark: SparkSession,
+    kg: dict,
+    question: str,
+    top_k: int = 10,
+    threshold: float = 0.2,
+    answerer=None,
+    vdb: DataFrame | None = None,
+) -> dict:
+    """End-to-end local query over a run_pipeline() output dict.
+
+    Returns {"seeds", "text_units", "edges", "context", "answer"}."""
+    entities, edges, chunks = kg["entities"], kg["edges"], kg["chunks"]
+    if vdb is None:
+        vdb = build_entity_vdb(entities).localCheckpoint()
+    qv = hash_embed_text(question)
+    ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold).localCheckpoint()
+    seeds = seed_entities(entities, edges, ann).localCheckpoint()
+    text_units = related_text_units(seeds, entities, edges, chunks)
+    edge_rows = related_edges(seeds, edges)
+    context = assemble_context(seeds.orderBy("rnk"), text_units, edge_rows)
+    answer = (answerer or TemplateAnswerer()).answer(question, context)
+    return {
+        "seeds": seeds,
+        "text_units": text_units,
+        "edges": edge_rows,
+        "context": context,
+        "answer": answer,
+    }

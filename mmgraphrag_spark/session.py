@@ -37,7 +37,11 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Keep the heap SMALL: on lazily-backed VMs, G1 young-gen size tracks
+        # the heap and every collection touches fresh pages — measured 60M-row
+        # md5 at local[32]: 8g=1.6s, 16g=6s, 24g=23s, 48g=10-70s. Checkpoint
+        # blocks spill to disk via MEMORY_AND_DISK, so 8g is enough.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,200 @@
+"""Incremental KG indexing over a document stream (SURVEY.md §2.10).
+
+The reference is batch-only; the natural Spark extension is Structured
+Streaming with ``foreachBatch`` re-using the SAME stage operators per
+micro-batch, plus durable PARTIAL-AGGREGATE state so merges stay exact:
+
+- ``entity_state(entity_name, entity_type, cnt, descs, srcs)`` — per-type
+  counts + description/source sets. A1's mode-of-type needs the per-type
+  counts, not the finalized rows, to stay correct across batches.
+- ``edge_state(src, tgt, weight, ord, descs, srcs)`` — weight partial sums,
+  min order, sets.
+- ``seen_chunks(chunk_id)`` — J1 across batches: a chunk already extracted in
+  an earlier batch is anti-joined away (preprocessing.py:112-119 semantics).
+
+State is versioned parquet (state_v<N>/ + LATEST marker) — the Iceberg
+``MERGE INTO`` stand-in; each batch commit is atomic (write new version, then
+flip the marker). ``finalize()`` derives the exact same entities/edges a
+fresh batch run over all documents would produce (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mmgraphrag_spark import GRAPH_FIELD_SEP
+from mmgraphrag_spark.operators import extract as X
+from mmgraphrag_spark.operators import merge as M
+from mmgraphrag_spark.operators import scene as SC
+from mmgraphrag_spark.operators import spans as S
+
+
+def _entity_state(ents_m: DataFrame) -> DataFrame:
+    return ents_m.groupBy("entity_name", "entity_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_set("description").alias("descs"),
+        F.collect_set("source_id").alias("srcs"),
+    )
+
+
+def _edge_state(rels_m: DataFrame) -> DataFrame:
+    s, t = F.least("src", "tgt"), F.greatest("src", "tgt")
+    return (
+        rels_m.withColumn("_s", s).withColumn("_t", t)
+        .groupBy(F.col("_s").alias("src"), F.col("_t").alias("tgt"))
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.lit(1).alias("ord"),
+            F.collect_set("description").alias("descs"),
+            F.collect_set("source_id").alias("srcs"),
+        )
+    )
+
+
+def _merge_sets(col):
+    return F.array_distinct(F.flatten(F.collect_list(col)))
+
+
+class IncrementalIndexer:
+    """foreachBatch sink: documents micro-batch -> state merge -> commit."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, scene_backend=None,
+                 extractor=None):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.scene_backend = scene_backend
+        self.extractor = extractor
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state versioning -------------------------------------------------
+    def _latest(self) -> int:
+        p = os.path.join(self.state_dir, "LATEST")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def _load(self, version: int, name: str) -> DataFrame | None:
+        if version < 0:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, f"state_v{version}", name)
+        )
+
+    def _commit(self, version: int, tables: dict) -> None:
+        root = os.path.join(self.state_dir, f"state_v{version}")
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        tmp = os.path.join(self.state_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, os.path.join(self.state_dir, "LATEST"))
+
+    # -- batch processing -------------------------------------------------
+    def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        spans = S.explode_spans(docs_batch)
+        chunk_rows = S.chunk_occurrences(spans)
+        chunks = S.dedup_chunk_occurrences(chunk_rows).localCheckpoint()
+        media = S.associate_media_to_chunks(
+            S.media_spans_with_context(spans), chunks
+        ).localCheckpoint()
+
+        v = self._latest()
+        seen = self._load(v, "seen_chunks")
+        new_chunks = (
+            S.filter_new_keys(chunks, seen, "chunk_id") if seen is not None else chunks
+        ).localCheckpoint()
+
+        mentions = X.extract_mentions(new_chunks, backend=self.extractor)
+        ents_m, rels_m = X.parse_mentions(mentions)
+        objects = SC.detect_scene_objects(media, backend=self.scene_backend)
+        img_ents_m, img_rels_m = SC.scene_graph(media, objects)
+
+        d_ent = _entity_state(ents_m.unionByName(img_ents_m))
+        d_edge = _edge_state(rels_m.unionByName(img_rels_m))
+
+        old_ent, old_edge = self._load(v, "entity_state"), self._load(v, "edge_state")
+        if old_ent is not None:
+            d_ent = (
+                old_ent.unionByName(d_ent)
+                .groupBy("entity_name", "entity_type")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    _merge_sets("descs").alias("descs"),
+                    _merge_sets("srcs").alias("srcs"),
+                )
+            )
+            d_edge = (
+                old_edge.unionByName(d_edge)
+                .groupBy("src", "tgt")
+                .agg(
+                    F.sum("weight").alias("weight"),
+                    F.min("ord").alias("ord"),
+                    _merge_sets("descs").alias("descs"),
+                    _merge_sets("srcs").alias("srcs"),
+                )
+            )
+        seen_next = (
+            seen.unionByName(new_chunks.select("chunk_id")).distinct()
+            if seen is not None
+            else chunks.select("chunk_id").distinct()
+        )
+        self._commit(
+            v + 1,
+            {"entity_state": d_ent, "edge_state": d_edge, "seen_chunks": seen_next},
+        )
+
+    # -- finalize ---------------------------------------------------------
+    def finalize(self) -> tuple[DataFrame, DataFrame]:
+        """Exact A1/A2 entities/edges from the accumulated state (identical to
+        a fresh batch run over the full corpus; pre-fusion)."""
+        v = self._latest()
+        est, edg = self._load(v, "entity_state"), self._load(v, "edge_state")
+        entities = (
+            est.groupBy("entity_name")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("entity_type").alias("t"))
+                ).getField("t").alias("entity_type"),
+                F.concat_ws(
+                    GRAPH_FIELD_SEP, F.array_sort(_merge_sets("descs"))
+                ).alias("description"),
+                _merge_sets("srcs").alias("source_ids"),
+            )
+        )
+        edges = edg.select(
+            "src", "tgt", "weight",
+            F.concat_ws(GRAPH_FIELD_SEP, F.array_sort("descs")).alias("description"),
+            F.col("srcs").alias("source_ids"),
+            F.col("ord").alias("order"),
+        )
+        entities = M.add_dangling_entities(entities, edges)
+        return M.summarize_long_descriptions(entities), edges
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    schema,
+    scene_backend=None,
+    extractor=None,
+):
+    """Wire a parquet-file document stream into the indexer with an
+    availableNow trigger (processes current backlog then stops). Returns the
+    (query, indexer) pair; callers await query.awaitTermination()."""
+    indexer = IncrementalIndexer(
+        spark, state_dir, scene_backend=scene_backend, extractor=extractor
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    query = (
+        stream.writeStream.foreachBatch(indexer.process_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, indexer
