@@ -586,9 +586,16 @@ GROUP BY 1, 2
          min(md5('seed' || (bands.band * 2 + 1) || ':' || s)) AS sig
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
   GROUP BY 1, 2
+),
+bounded AS (
+  SELECT id, band, sig FROM (
+    SELECT id, band, sig,
+           row_number() OVER (PARTITION BY band, sig ORDER BY id) AS rn
+    FROM sigs
+  ) WHERE rn <= 1000
 )
 SELECT DISTINCT x.id AS a, y.id AS b
-FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+FROM bounded x JOIN bounded y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
 """
 
     sql["simhash"] = f"""

@@ -410,6 +410,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     return comp
 
+def largest_connected_component(edges: DataFrame) -> DataFrame:
+    """U6 (storage.py:344-361, graspologic LCC — defined but unused in the
+    reference pipeline; kept as an optional op): nodes of the largest CC of
+    the undirected edge set, via the hash-min loop + a size argmax."""
+    pairs = edges.select(F.col("src").alias("alias"), F.col("tgt").alias("canonical"))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    top = sizes.orderBy(F.desc("n"), F.asc("component")).limit(1)
+    return comp.join(F.broadcast(top), "component").select("entity_name")
+
+
 def alias_map(pairs: DataFrame, entities: DataFrame) -> DataFrame:
     """Alias pairs -> transitive alias map (alias -> canonical).
 

@@ -66,10 +66,17 @@ def chunk_text_spans(
     span content collapses to one chunk row (J1 semantics within the batch),
     keeping min(doc_id)/min(offset) for determinism.
     """
-    chunks = _chunk_rows(spans, max_tokens, overlap)
+    return dedup_chunk_occurrences(_chunk_rows(spans, max_tokens, overlap))
+
+
+def dedup_chunk_occurrences(occurrences: DataFrame) -> DataFrame:
+    """Occurrence rows -> deduplicated chunk rows (one per chunk_id, keeping
+    min (doc_id, chunk_order_index) for determinism). Split out so the
+    pipeline can reuse the already-checkpointed occurrences instead of
+    re-chunking every span a second time."""
     w = Window.partitionBy("chunk_id").orderBy("doc_id", "chunk_order_index")
     return (
-        chunks.withColumn("_rn", F.row_number().over(w))
+        occurrences.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

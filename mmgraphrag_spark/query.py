@@ -228,11 +228,29 @@ def assemble_context(seeds, text_units, edge_rows) -> str:
 
 
 class TemplateAnswerer:
-    """Deterministic offline stand-in for the RAG answer LLM (L11)."""
+    """Deterministic offline stand-in for the RAG answer LLMs (L11-L13)."""
 
     def answer(self, question: str, context: str) -> str:
         top = context.splitlines()[2] if len(context.splitlines()) > 2 else ""
         return f"Q: {question}\nTop evidence: {top}"
+
+    def answer_image(self, question: str, media_ref: str, context: str) -> str:
+        """L12: per-image multimodal answer (stubbed: would send the image
+        bytes + context to an MLLM)."""
+        return f"[image {media_ref}] relevant to: {question}"
+
+    def merge(self, question: str, answers: list[str]) -> str:
+        """L13: multi-answer merge."""
+        return "\n".join(answers)
+
+
+def multimodal_entities(seeds: DataFrame, limit: int = 3) -> DataFrame:
+    """W7 (query.py:414-420): first ``number_of_mmentities`` ORI_IMG seeds."""
+    return (
+        seeds.filter(F.col("entity_type") == '"ORI_IMG"')
+        .orderBy("rnk")
+        .limit(limit)
+    )
 
 
 def local_query(
@@ -256,11 +274,23 @@ def local_query(
     text_units = related_text_units(seeds, entities, edges, chunks)
     edge_rows = related_edges(seeds, edges)
     context = assemble_context(seeds.orderBy("rnk"), text_units, edge_rows)
-    answer = (answerer or TemplateAnswerer()).answer(question, context)
+    backend = answerer or TemplateAnswerer()
+    answer = backend.answer(question, context)
+    # multimodal branch (query.py:402-468): if ORI_IMG entities ranked, answer
+    # per image (<=3, W7) and merge with the text answer (L12/L13)
+    mm = [
+        r.entity_name for r in multimodal_entities(seeds).collect()
+    ]
+    if mm:
+        img_answers = [
+            backend.answer_image(question, name, context) for name in mm
+        ]
+        answer = backend.merge(question, [answer] + img_answers)
     return {
         "seeds": seeds,
         "text_units": text_units,
         "edges": edge_rows,
         "context": context,
         "answer": answer,
+        "mm_entities": mm,
     }
