@@ -369,6 +369,41 @@ def _q_w2_neighbor_window(spark, sf_dir):
     )
 
 
+def _q_u6_lcc(spark, sf_dir):
+    """U6: largest connected component of the events-derived edge graph."""
+    from mmgraphrag_spark.operators.fusion import largest_connected_component
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("u"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+    ).filter(F.col("src") != F.col("tgt")).distinct()
+    return largest_connected_component(edges)
+
+
+def _q_a3_summarize(spark, sf_dir):
+    """A3: token-threshold description summarization (deterministic backend)."""
+    from mmgraphrag_spark.operators.merge import summarize_long_descriptions
+
+    flat = _flat(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_name"),
+        F.lit("T").alias("entity_type"),
+        F.col("text").alias("description"),
+        F.array().cast("array<string>").alias("source_ids"),
+    )
+    out = summarize_long_descriptions(flat, max_tokens=60, keep_tokens=20)
+    return out.select(
+        F.col("entity_name").cast("bigint").alias("id"),
+        F.col("description").alias("summary"),
+    )
+
+
+def _q_kg_media_assoc(spark, sf_dir):
+    """J2: media span -> best chunk by word-overlap argmax (exact: the
+    grammar chunk always wins for the derived corpus)."""
+    return _kg(spark, sf_dir)["media_spans"].select("media_ref", "chunk_id")
+
+
 def _q_media_features(spark, sf_dir):
     """Rows-only check: multimodal binary-column decode plumbing (feature
     vectors derive from md5 bytes — not SQL-expressible)."""
@@ -424,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_token_budget": _q_a10_token_budget,
         "w4_ranking": _q_w4_ranking,
         "w2_neighbor_window": _q_w2_neighbor_window,
+        "u6_lcc": _q_u6_lcc,
+        "a3_summarize": _q_a3_summarize,
+        "kg_media_assoc": _q_kg_media_assoc,
         "media_features": _q_media_features,
         "lsh_ann_topk": _q_lsh_ann_topk,
     }
@@ -835,6 +873,38 @@ members AS (
 mins AS (SELECT root, min('u' || uid) AS comp FROM members GROUP BY 1)
 SELECT 'u' || m.uid AS entity_name, mins.comp AS component
 FROM members m JOIN mins ON mins.root = m.root
+"""
+
+    sql["u6_lcc"] = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'u' || user_id AS a, 'u' || ((user_id * 3 + 1) % 25) AS b
+  FROM events WHERE 'u' || user_id <> 'u' || ((user_id * 3 + 1) % 25)
+),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM e),
+r AS (
+  SELECT node, node AS lbl FROM n
+  UNION
+  SELECT e.a, r.lbl FROM e JOIN r ON r.node = e.b
+),
+comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+sizes AS (SELECT component, count(*) AS cnt FROM comp GROUP BY 1),
+top AS (SELECT component FROM sizes ORDER BY cnt DESC, component ASC LIMIT 1)
+SELECT comp.node AS entity_name FROM comp JOIN top USING (component)
+"""
+
+    sql["a3_summarize"] = """
+WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+SELECT doc_id AS id,
+       CASE WHEN len(w) >= 60 THEN array_to_string(w[1:20], ' ') || ' ...'
+            ELSE text END AS summary
+FROM t
+"""
+
+    sql["kg_media_assoc"] = f"""
+SELECT 'img://doc-' || doc_id || '/0' AS media_ref,
+       'chunk-' || md5({_GRAMMAR}) AS chunk_id
+FROM documents WHERE doc_id % 40 = 0
 """
 
     sql["j1_anti_join"] = """

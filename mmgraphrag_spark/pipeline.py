@@ -36,6 +36,7 @@ def run_pipeline(
     fusion_window: int = 1,
     max_block: int = 2000,
     checkpointer=None,
+    blocking: str = "neighborhood",
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot)."""
@@ -90,6 +91,7 @@ def run_pipeline(
     aliases = build_aliases(
         entities, edges, ents_m, img_ents_m, media, occurrences,
         window=fusion_window, max_block=max_block, checkpointer=cp,
+        blocking=blocking,
     )
     entities_f, edges_f = FU.contract(entities, edges, aliases)
     entities_f = cp.stage("entities", entities_f)
@@ -121,8 +123,17 @@ def build_aliases(
     window: int = 1,
     max_block: int = 2000,
     checkpointer=None,
+    blocking: str = "neighborhood",
 ) -> DataFrame:
-    """Fusion stages 1-4 -> alias map (alias -> canonical)."""
+    """Fusion stages 1-4 -> alias map (alias -> canonical).
+
+    blocking="neighborhood" (parity path): one block per media span containing
+    its image entities + text entities within ±window span offsets (J3).
+    blocking="lsh" (scale path): MinHash/LSH bands over char n-grams of the
+    normalized entity name — no positional constraint, suitable when the
+    corpus is too large to band-join per document or entities must be resolved
+    across documents.
+    """
     cp = checkpointer or LocalCheckpointer()
     # text entity occurrences: every (entity, source chunk) mention joined to the
     # chunk's per-doc occurrence positions (handles deduplicated chunks that
@@ -154,7 +165,17 @@ def build_aliases(
             "description",
         )
     )
-    members = FU.neighborhood_blocks(img_members, text_occ, window=window)
+    if blocking == "lsh":
+        typed = entities.withColumn(
+            "kind",
+            F.when(
+                F.col("entity_type").isin('"ORI_IMG"', '"IMG_ENTITY"', '"IMG"'),
+                F.lit("img"),
+            ).otherwise(F.lit("text")),
+        ).select("entity_name", "kind", "description")
+        members = FU.name_key_lsh_blocks(typed)
+    else:
+        members = FU.neighborhood_blocks(img_members, text_occ, window=window)
     members = cp.stage("fusion_blocks", FU.cap_blocks(members, max_block=max_block))
     # within-block known relationships for Gram reweighting (M3).
     # JOIN ORDER MATTERS: edges ⋈ members on src alone explodes on hub

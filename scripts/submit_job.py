@@ -1,0 +1,85 @@
+"""Cluster entry point for the KG-construction pipeline.
+
+Launch on a cluster (the master/deploy-mode come from spark-submit; the
+session builder adds no master when one is already set):
+
+    cd /root/repo && zip -r /tmp/mmgraphrag_spark.zip mmgraphrag_spark
+    spark-submit --py-files /tmp/mmgraphrag_spark.zip \
+        scripts/submit_job.py \
+        --input  s3://bucket/documents_iceberg_or_parquet \
+        --output s3://bucket/kg_out \
+        --checkpoint s3://bucket/kg_ckpt \
+        --blocking lsh --doc-partitions 4096
+
+Local smoke (same code path):
+
+    python scripts/submit_job.py --input /root/testdata/sf0.001/documents.parquet \
+        --derive-interleaved --output /tmp/kg_out --checkpoint /tmp/kg_ckpt
+
+Outputs: parquet entities/, edges/, triples/ under --output, plus committed
+stage snapshots (with lineage markers) under --checkpoint; a killed run
+re-submitted with the same --checkpoint resumes from the last commit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True,
+                   help="documents table path (doc_id, spans) — or a flat "
+                        "(doc_id, text) table with --derive-interleaved")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--blocking", default="neighborhood",
+                   choices=["neighborhood", "lsh"])
+    p.add_argument("--doc-partitions", type=int, default=None)
+    p.add_argument("--max-block", type=int, default=2000)
+    p.add_argument("--derive-interleaved", action="store_true",
+                   help="input is a flat (doc_id, text) corpus; derive the "
+                        "interleaved spans table deterministically")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("mmgraphrag_spark_index")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.plans import ParquetCheckpointer
+
+    docs = spark.read.parquet(args.input)
+    if args.derive_interleaved:
+        from mmgraphrag_spark.sources.documents import interleave_from_flat
+
+        docs = interleave_from_flat(docs)
+
+    out = run_pipeline(
+        spark,
+        docs,
+        doc_partitions=args.doc_partitions,
+        max_block=args.max_block,
+        blocking=args.blocking,
+        checkpointer=ParquetCheckpointer(spark, args.checkpoint),
+    )
+    for name in ("entities", "edges", "triples"):
+        out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+    n = spark.read.parquet(os.path.join(args.output, "triples")).count()
+    print(f"DONE triples={n} output={args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
