@@ -1,0 +1,149 @@
+"""OpenAI-compatible chat client + the LLM extraction backend (L1 with the
+gleaning loop), executor-side.
+
+Cross-cutting behaviors mirrored from the reference:
+  - bounded in-flight concurrency (16; base.py:142-172) via a semaphore-capped
+    thread pool per python worker,
+  - retry with backoff on transient/rate-limit errors (3x; llm.py:19-32),
+  - response memoization by args hash happens OUTSIDE this module as the
+    llm_cache table join (J17, extract.extract_mentions) so only cache misses
+    ever reach the network.
+
+Pure stdlib (urllib) — no SDK dependency. Configure with base_url/api_key/
+model (any OpenAI-compatible endpoint). This sandbox has no network; the
+client is fully implemented and unit-tested against an injected transport.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from mmgraphrag_spark.backends import prompts
+
+
+class ScriptedTransport:
+    """Offline transport: replays a fixed list of reply strings (an Exception
+    entry raises instead). Lets the full client/extractor stack — retries,
+    gleaning loop, Arrow batching — run without network; also the seam CI can
+    use for recorded-response tests. Defined in the package (not test code) so
+    Spark workers can unpickle it by reference."""
+
+    def __init__(self, script: list):
+        self.script = script
+        self.n = 0
+
+    def __call__(self, url: str, headers: dict, payload: dict) -> str:
+        reply = self.script[min(self.n, len(self.script) - 1)]
+        self.n += 1
+        if isinstance(reply, Exception):
+            raise reply
+        return json.dumps({"choices": [{"message": {"content": reply}}]})
+
+
+class ChatClient:
+    """Minimal OpenAI-compatible /chat/completions client."""
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str = "",
+        model: str = "gpt-4o-mini",
+        max_retries: int = 3,
+        backoff_seconds: float = 2.0,
+        timeout: float = 120.0,
+        transport: Callable[[str, dict, dict], str] | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.max_retries = max_retries
+        self.backoff_seconds = backoff_seconds
+        self.timeout = timeout
+        self._transport = transport or self._http_transport
+
+    def _http_transport(self, url: str, headers: dict, payload: dict) -> str:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), headers=headers, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read().decode()
+
+    def complete(self, messages: list[dict]) -> str:
+        url = f"{self.base_url}/chat/completions"
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        payload = {"model": self.model, "messages": messages, "temperature": 0}
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                body = self._transport(url, headers, payload)
+                data = json.loads(body)
+                return data["choices"][0]["message"]["content"]
+            except Exception as ex:  # transient/network/rate-limit
+                last = ex
+                if attempt + 1 < self.max_retries:
+                    time.sleep(self.backoff_seconds * (attempt + 1))
+        raise RuntimeError(f"chat completion failed after {self.max_retries} tries") from last
+
+
+class LLMExtractor:
+    """L1 extraction with the gleaning loop (text2graph.py:346-369):
+    initial extraction, then up to ``max_gleaning`` continuation rounds, each
+    gated by a YES/NO probe. Emits the record-grammar wire string per chunk."""
+
+    def __init__(
+        self,
+        client: ChatClient,
+        entity_types: list[str] | None = None,
+        max_gleaning: int = 1,
+        max_concurrency: int = 16,
+    ):
+        self.client = client
+        self.entity_types = entity_types
+        self.max_gleaning = max_gleaning
+        self.max_concurrency = max_concurrency
+        self._sem = None  # created lazily WORKER-side (locks don't pickle)
+
+    def _extract_one(self, content: str) -> str:
+        if self._sem is None:
+            self._sem = threading.Semaphore(self.max_concurrency)
+        with self._sem:
+            history = [
+                {"role": "user",
+                 "content": prompts.entity_extraction_prompt(content, self.entity_types)}
+            ]
+            out = self.client.complete(history)
+            records = [out]
+            for _ in range(self.max_gleaning):
+                history += [
+                    {"role": "assistant", "content": out},
+                    {"role": "user", "content": prompts.LOOP_PROBE},
+                ]
+                probe = self.client.complete(history).strip().upper()
+                if not probe.startswith("Y"):
+                    break
+                history += [
+                    {"role": "assistant", "content": probe},
+                    {"role": "user", "content": prompts.CONTINUE_EXTRACTION},
+                ]
+                out = self.client.complete(history)
+                records.append(out)
+            return "##".join(records)
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for pdf in it:
+                recs = list(pool.map(self._extract_one, pdf["content"]))
+                yield pd.DataFrame(
+                    {"chunk_id": pdf["chunk_id"], "doc_id": pdf["doc_id"],
+                     "records": recs}
+                )

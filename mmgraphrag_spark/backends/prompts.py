@@ -1,0 +1,86 @@
+"""Prompt templates for the LLM-backed operators (SURVEY.md §2.9 L1-L13).
+
+Written from scratch; functionally equivalent to the reference's prompt
+surface (reference file:line cited per template) and emitting the SAME wire
+format the parser consumes (prompt.py:190-192): records wrapped in
+parentheses, fields separated by ``<|>``, records separated by ``##``,
+terminated by ``<|COMPLETE|>``. Keeping the wire format identical means the
+JVM-side parser (functions/records.py) works unchanged for both the
+deterministic and the LLM backends.
+"""
+
+from __future__ import annotations
+
+from mmgraphrag_spark import (
+    COMPLETE_TAG,
+    DEFAULT_ENTITY_TYPES,
+    FIELD_SEP,
+    RECORD_SEP,
+)
+
+# L1 — entity/relationship extraction (reference prompt.py:58-187)
+ENTITY_EXTRACTION = f"""You extract a knowledge graph from text.
+
+From the input below, list every entity and every relationship you find.
+Allowed entity types: {{entity_types}}.
+
+Output format, one record per line:
+("entity"{FIELD_SEP}"<NAME IN CAPS>"{FIELD_SEP}"<TYPE IN CAPS>"{FIELD_SEP}<one-sentence description>)
+("relationship"{FIELD_SEP}"<SOURCE>"{FIELD_SEP}"<TARGET>"{FIELD_SEP}<why they are related>{FIELD_SEP}<integer strength 1-10>)
+
+Separate records with {RECORD_SEP} and finish with {COMPLETE_TAG}.
+
+Input:
+{{input_text}}
+"""
+
+# L1 gleaning round (prompt.py entity_continue_extraction lineage)
+CONTINUE_EXTRACTION = (
+    "Some entities or relationships were missed in the previous answer. "
+    f"Add ONLY the missing ones, same format, finish with {COMPLETE_TAG}."
+)
+
+# L1 gleaning gate (prompt.py entity_if_loop_extraction lineage)
+LOOP_PROBE = (
+    "Were any entities or relationships still missed? Answer only YES or NO."
+)
+
+# L2 — description summarization (prompt.py:162-176)
+SUMMARIZE_DESCRIPTIONS = """Merge the following descriptions of {entity_name}
+into one comprehensive description. Resolve contradictions; write in third
+person; include the entity name.
+
+Descriptions:
+{descriptions}
+"""
+
+# L3 — whole-image description + segmentation flag (prompt.py:198-285)
+IMAGE_DESCRIPTION = """Describe this image in detail. Then decide whether the
+image contains multiple distinct foreground objects that would benefit from
+object segmentation. Reply as JSON: {"description": "...",
+"segmentation": true|false}"""
+
+# L5 — whole-image scene-graph extraction (prompt.py:287-329)
+SCENE_EXTRACTION = f"""Extract a scene graph of this image: every visible
+object as an entity record and every visual relation between objects as a
+relationship record, using the same record format as text extraction.
+Separate records with {RECORD_SEP} and finish with {COMPLETE_TAG}."""
+
+# L7/L8 — cross-modal alignment judgment (prompt.py:588-682)
+ALIGNMENT_JUDGE = """Candidate text entities: {candidates}
+Image entity: {image_entity} — {image_description}
+Which single candidate denotes the same real-world thing as the image entity?
+Reply with exactly the candidate name, or "no match"."""
+
+# L11 — RAG answer (prompt.py:425-459)
+RAG_ANSWER = """Answer the question using only the context tables below.
+
+{context}
+
+Question: {question}
+Answer:"""
+
+
+def entity_extraction_prompt(input_text: str, entity_types=None) -> str:
+    types = ", ".join(entity_types or DEFAULT_ENTITY_TYPES)
+    return ENTITY_EXTRACTION.format(entity_types=types, input_text=input_text)

@@ -65,24 +65,8 @@ class DeterministicExtractor:
                 }
             )
 
-class LLMExtractor:
-    """API-backed extraction (entity_extraction prompt lineage, prompt.py:58-187).
-
-    Sends batches to a chat-completions endpoint with bounded in-UDF concurrency
-    (reference caps 16 in-flight calls, base.py:142-172) and relies on the
-    llm_cache join (extract_mentions cache args) so only misses hit the network.
-    Network access is unavailable in this sandbox -> explicitly stubbed.
-    """
-
-    def __init__(self, model: str = "", max_concurrency: int = 16):
-        self.model = model
-        self.max_concurrency = max_concurrency
-
-    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "LLMExtractor requires network access; use DeterministicExtractor "
-            "in offline/test mode"
-        )
+# API-backed extraction backend (L1 + gleaning loop, cache join J17):
+# mmgraphrag_spark.backends.llm.LLMExtractor — same map_batches interface.
 
 def extract_mentions(
     chunks: DataFrame,

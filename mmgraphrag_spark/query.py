@@ -253,6 +253,15 @@ def multimodal_entities(seeds: DataFrame, limit: int = 3) -> DataFrame:
     )
 
 
+def log_query(spark: SparkSession, log_dir: str, question: str, context: str,
+              answer: str) -> None:
+    """S9 (query.py:395-397): append-mode query log — parquet table instead of
+    the reference's context.csv."""
+    spark.createDataFrame(
+        [(question, context, answer)], ["question", "context", "answer"]
+    ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(log_dir)
+
+
 def local_query(
     spark: SparkSession,
     kg: dict,
@@ -261,6 +270,7 @@ def local_query(
     threshold: float = 0.2,
     answerer=None,
     vdb: DataFrame | None = None,
+    log_dir: str | None = None,
 ) -> dict:
     """End-to-end local query over a run_pipeline() output dict.
 
@@ -286,6 +296,8 @@ def local_query(
             backend.answer_image(question, name, context) for name in mm
         ]
         answer = backend.merge(question, [answer] + img_answers)
+    if log_dir:
+        log_query(spark, log_dir, question, context, answer)
     return {
         "seeds": seeds,
         "text_units": text_units,

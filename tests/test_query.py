@@ -30,6 +30,15 @@ def test_local_query_end_to_end(spark, pipeline_out):
     assert out["answer"].startswith("Q: What is ENTITY_1")
 
 
+def test_query_log_appends(spark, pipeline_out, tmp_path):
+    log_dir = str(tmp_path / "qlog")
+    Q.local_query(spark, pipeline_out, "first?", log_dir=log_dir)
+    Q.local_query(spark, pipeline_out, "second?", log_dir=log_dir)
+    log = spark.read.parquet(log_dir)
+    assert log.count() == 2
+    assert {r.question for r in log.collect()} == {"first?", "second?"}
+
+
 def test_related_text_units_budget(spark, pipeline_out):
     vdb = Q.build_entity_vdb(pipeline_out["entities"]).localCheckpoint()
     qv = Q.hash_embed_text("ENTITY_2")
