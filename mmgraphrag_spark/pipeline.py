@@ -62,9 +62,15 @@ def run_pipeline(
         "occurrences",
         all_chunk_rows.select("chunk_id", "doc_id", "chunk_order_index"),
     )
+    # J2 must join against per-doc chunk OCCURRENCES, not deduped chunks: a
+    # chunk shared across docs is attributed to its first doc after dedup, and
+    # joining media on doc_id against that loses the candidate for every other
+    # doc (surfaced at sf0.1 where derived grammar repeats past 3150 docs)
     media = cp.stage(
         "media_spans",
-        S.associate_media_to_chunks(S.media_spans_with_context(spans), chunks),
+        S.associate_media_to_chunks(
+            S.media_spans_with_context(spans), all_chunk_rows
+        ),
     )
 
     mentions = cp.stage(

@@ -97,10 +97,12 @@ class IncrementalIndexer:
     # -- batch processing -------------------------------------------------
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
         spans = S.explode_spans(docs_batch)
-        chunk_rows = S.chunk_occurrences(spans)
+        chunk_rows = S.chunk_occurrences(spans).localCheckpoint()
         chunks = S.dedup_chunk_occurrences(chunk_rows).localCheckpoint()
+        # J2 joins per-doc occurrences (see pipeline.py: dedup would misplace
+        # shared chunks' doc attribution)
         media = S.associate_media_to_chunks(
-            S.media_spans_with_context(spans), chunks
+            S.media_spans_with_context(spans), chunk_rows
         ).localCheckpoint()
 
         v = self._latest()

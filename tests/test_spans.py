@@ -93,6 +93,31 @@ def test_media_context_window(spark):
     assert m.chunk_order_index == 1
 
 
+def test_associate_media_with_cross_doc_chunk_dedup(spark):
+    """Regression: a chunk shared by two docs is attributed to the FIRST doc
+    after dedup; media in the SECOND doc must still associate to it — the J2
+    join must use per-doc occurrences, not deduped chunks."""
+    shared = "unique tokens alpha beta gamma delta"
+    docs = _docs(
+        spark,
+        [
+            ("doc-a", [("text", shared, "", 0)]),
+            ("doc-b", [
+                ("text", shared, "", 0),
+                ("image", "cap", "img://doc-b/0", 1),
+            ]),
+        ],
+    )
+    spans = S.explode_spans(docs)
+    occurrences = S.chunk_occurrences(spans)
+    media = S.media_spans_with_context(spans)
+    out = S.associate_media_to_chunks(media, occurrences).collect()
+    assert len(out) == 1
+    import hashlib
+
+    assert out[0].chunk_id == "chunk-" + hashlib.md5(shared.encode()).hexdigest()
+
+
 def test_associate_media_to_chunks(spark):
     """J2: argmax word-overlap picks the right chunk."""
     docs = _docs(
