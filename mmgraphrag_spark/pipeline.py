@@ -54,23 +54,19 @@ def run_pipeline(
         )
 
     spans = S.explode_spans(documents)
-    all_chunk_rows = S.chunk_occurrences(spans)
-    chunks = cp.stage("chunks", S.dedup_chunk_occurrences(all_chunk_rows))
+    # ONE chunking pass, committed with content; everything downstream derives
+    # from this snapshot (dedup window, slim fusion occurrences, J2 candidates)
+    chunk_rows = cp.stage("chunk_rows", S.chunk_occurrences(spans))
+    chunks = cp.stage("chunks", S.dedup_chunk_occurrences(chunk_rows))
     # fusion's neighborhood join needs only (chunk_id, position) per occurrence
-    # — dropping content/tokens keeps this snapshot ~10x smaller than chunks
-    occurrences = cp.stage(
-        "occurrences",
-        all_chunk_rows.select("chunk_id", "doc_id", "chunk_order_index"),
-    )
+    occurrences = chunk_rows.select("chunk_id", "doc_id", "chunk_order_index")
     # J2 must join against per-doc chunk OCCURRENCES, not deduped chunks: a
     # chunk shared across docs is attributed to its first doc after dedup, and
     # joining media on doc_id against that loses the candidate for every other
     # doc (surfaced at sf0.1 where derived grammar repeats past 3150 docs)
     media = cp.stage(
         "media_spans",
-        S.associate_media_to_chunks(
-            S.media_spans_with_context(spans), all_chunk_rows
-        ),
+        S.associate_media_to_chunks(S.media_spans_with_context(spans), chunk_rows),
     )
 
     mentions = cp.stage(
