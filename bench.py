@@ -31,13 +31,15 @@ def _scaled_documents(spark, sf_dir: str, replicas: int):
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     para = spark.sparkContext.defaultParallelism
     if replicas > 1:
-        n = flat.count()
+        # collision-free replica ids even for sparse/offset doc_ids: stride by
+        # max(doc_id)+1, not the row count
+        stride = flat.agg(F.max("doc_id")).first()[0] + 1
         # spread the small source across tasks BEFORE the explode so replica
         # expansion runs in parallel instead of inside the single input split
         flat = flat.repartition(para).select(
             "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
         ).select(
-            (F.col("doc_id") + F.col("r") * n).alias("doc_id"),
+            (F.col("doc_id") + F.col("r") * stride).alias("doc_id"),
             # tag keeps replica text distinct so chunk-dedup doesn't collapse the volume
             F.concat(F.col("text"), F.lit(" replica "), F.col("r")).alias("text"),
         )

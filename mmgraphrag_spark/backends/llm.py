@@ -37,8 +37,11 @@ class ScriptedTransport:
     def __init__(self, script: list):
         self.script = script
         self.n = 0
+        self.calls: list[list[dict]] = []  # messages of each request, in order
 
     def __call__(self, url: str, headers: dict, payload: dict) -> str:
+        # snapshot: callers mutate their history list between calls
+        self.calls.append([dict(m) for m in payload.get("messages", [])])
         reply = self.script[min(self.n, len(self.script) - 1)]
         self.n += 1
         if isinstance(reply, Exception):
@@ -94,9 +97,14 @@ class ChatClient:
 
 
 class LLMExtractor:
-    """L1 extraction with the gleaning loop (text2graph.py:346-369):
-    initial extraction, then up to ``max_gleaning`` continuation rounds, each
-    gated by a YES/NO probe. Emits the record-grammar wire string per chunk."""
+    """L1 extraction with the gleaning loop (text2graph.py:346-369): initial
+    extraction, then up to ``max_gleaning`` continuation rounds. Reference
+    order: each round runs the continuation UNCONDITIONALLY first; the YES/NO
+    probe runs only between rounds (never after the last) and gates whether an
+    ADDITIONAL round happens — at max_gleaning=1 exactly one continuation call
+    is made and the probe is never sent. The probe exchange is NOT appended to
+    the conversation history (text2graph.py:361-369). Emits the record-grammar
+    wire string per chunk."""
 
     def __init__(
         self,
@@ -112,35 +120,42 @@ class LLMExtractor:
         self._sem = None  # created lazily WORKER-side (locks don't pickle)
 
     def _extract_one(self, content: str) -> str:
-        if self._sem is None:
-            self._sem = threading.Semaphore(self.max_concurrency)
+        if self._sem is None:  # direct (single-threaded) calls only; map_batches
+            self._sem = threading.Semaphore(self.max_concurrency)  # creates eagerly
         with self._sem:
             history = [
                 {"role": "user",
                  "content": prompts.entity_extraction_prompt(content, self.entity_types)}
             ]
             out = self.client.complete(history)
+            history.append({"role": "assistant", "content": out})
             records = [out]
-            for _ in range(self.max_gleaning):
-                history += [
-                    {"role": "assistant", "content": out},
-                    {"role": "user", "content": prompts.LOOP_PROBE},
-                ]
-                probe = self.client.complete(history).strip().upper()
-                if not probe.startswith("Y"):
-                    break
-                history += [
-                    {"role": "assistant", "content": probe},
-                    {"role": "user", "content": prompts.CONTINUE_EXTRACTION},
-                ]
+            for glean_index in range(self.max_gleaning):
+                # unconditional continuation (reference: glean first, probe after)
+                history.append({"role": "user", "content": prompts.CONTINUE_EXTRACTION})
                 out = self.client.complete(history)
+                history.append({"role": "assistant", "content": out})
                 records.append(out)
+                if glean_index == self.max_gleaning - 1:
+                    break
+                # probe gates ADDITIONAL rounds only; its exchange stays out of
+                # history, and only an exact (quote-stripped, lowercased) "yes"
+                # continues (text2graph.py:361-369)
+                probe = self.client.complete(
+                    history + [{"role": "user", "content": prompts.LOOP_PROBE}]
+                )
+                if probe.strip().strip('"').strip("'").lower() != "yes":
+                    break
             return "##".join(records)
 
     def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
+        # semaphore created eagerly here (single-threaded, worker-side — locks
+        # don't pickle so it can't be built in __init__ driver-side) before any
+        # submission; lazy per-thread creation raced and could over-admit.
+        self._sem = threading.Semaphore(self.max_concurrency)
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             for pdf in it:
                 recs = list(pool.map(self._extract_one, pdf["content"]))
                 yield pd.DataFrame(

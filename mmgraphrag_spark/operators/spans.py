@@ -165,8 +165,12 @@ def associate_media_to_chunks(media: DataFrame, chunks: DataFrame) -> DataFrame:
 
     Score = |distinct context words ∩ distinct chunk words| (set semantics of
     the reference's per-word membership count, preprocessing.py:178-206);
-    best chunk per media span via row_number. Join is doc-local (equi on
-    doc_id) so it never goes cartesian across documents.
+    best chunk per media OCCURRENCE via row_number. The argmax window is keyed
+    by (doc_id, media_ref, chunk_order_index) — the reference associates each
+    image occurrence per document (preprocessing.py find_chunk_for_image), so
+    a media_ref shared across docs (or repeated within one doc) keeps one
+    best-chunk association per occurrence, not one globally. Join is doc-local
+    (equi on doc_id) so it never goes cartesian across documents.
     """
     m = media.withColumn(
         "_ctx_words", F.array_distinct(F.split(F.lower(F.col("context")), r"\s+"))
@@ -179,7 +183,7 @@ def associate_media_to_chunks(media: DataFrame, chunks: DataFrame) -> DataFrame:
     scored = m.join(c, m.doc_id == c.c_doc_id, "left").withColumn(
         "_score", F.size(F.array_intersect("_ctx_words", "_chunk_words"))
     )
-    w = Window.partitionBy("media_ref").orderBy(
+    w = Window.partitionBy("doc_id", "media_ref", "chunk_order_index").orderBy(
         F.desc("_score"), F.asc("cand_chunk_id")
     )
     return (

@@ -42,13 +42,69 @@ class LocalCheckpointer:
         return out
 
 
+class _HadoopFS:
+    """Tiny marker-file IO shim over the Hadoop FileSystem API.
+
+    Commit markers MUST live in the same store as the parquet data: with plain
+    ``os.path`` IO an object-store root (``--checkpoint s3a://bucket/kg_ckpt``)
+    would put the data on S3 via Hadoop but the markers on the driver's local
+    disk, so a resubmitted run on a fresh driver never resumes and a
+    same-machine rerun can skip stages whose S3 data was never written. The
+    Hadoop FS resolves the scheme (file://, hdfs://, s3a://) from the root URI,
+    making ``committed()`` consistent with where ``df.write.parquet`` wrote.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._IOUtils = jvm.org.apache.commons.io.IOUtils
+        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return self._IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Write to <path>.tmp then rename over <path> (the same
+        visible-only-after-success protocol the local os.replace gave)."""
+        tmp = self._Path(path + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._Path(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        self._fs.rename(tmp, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(path))
+            if st.isDirectory()
+        )
+
+
 class ParquetCheckpointer:
     """Durable per-stage snapshots with commit markers and lineage counters."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fs = _HadoopFS(spark, root)
+        self._fs.mkdirs(root)
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -57,7 +113,7 @@ class ParquetCheckpointer:
         return os.path.join(self._dir(name), "_COMMIT.json")
 
     def committed(self, name: str) -> bool:
-        return os.path.exists(self._marker(name))
+        return self._fs.exists(self._marker(name))
 
     def load(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
@@ -86,17 +142,13 @@ class ParquetCheckpointer:
             "wall_seconds": round(time.monotonic() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        tmp = self._marker(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self._marker(name))
+        self._fs.write_text_atomic(self._marker(name), json.dumps(marker))
         return out
 
     def manifest(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(self.root)):
+        for name in self._fs.listdir(self.root):
             m = self._marker(name)
-            if os.path.exists(m):
-                with open(m) as f:
-                    out.append(json.load(f))
+            if self._fs.exists(m):
+                out.append(json.loads(self._fs.read_text(m)))
         return out

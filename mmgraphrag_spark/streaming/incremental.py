@@ -71,12 +71,17 @@ class IncrementalIndexer:
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state versioning -------------------------------------------------
-    def _latest(self) -> int:
+    def _latest_marker(self) -> dict:
         p = os.path.join(self.state_dir, "LATEST")
         if not os.path.exists(p):
-            return -1
+            return {"version": -1, "batch_id": -1}
         with open(p) as f:
-            return json.load(f)["version"]
+            m = json.load(f)
+        m.setdefault("batch_id", -1)
+        return m
+
+    def _latest(self) -> int:
+        return self._latest_marker()["version"]
 
     def _load(self, version: int, name: str) -> DataFrame | None:
         if version < 0:
@@ -85,17 +90,24 @@ class IncrementalIndexer:
             os.path.join(self.state_dir, f"state_v{version}", name)
         )
 
-    def _commit(self, version: int, tables: dict) -> None:
+    def _commit(self, version: int, tables: dict, batch_id: int = -1) -> None:
         root = os.path.join(self.state_dir, f"state_v{version}")
         for name, df in tables.items():
             df.write.mode("overwrite").parquet(os.path.join(root, name))
         tmp = os.path.join(self.state_dir, "LATEST.tmp")
         with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump({"version": version, "batch_id": batch_id}, f)
         os.replace(tmp, os.path.join(self.state_dir, "LATEST"))
 
     # -- batch processing -------------------------------------------------
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a crash between state commit and
+        # stream-checkpoint advance, the SAME batch_id is replayed. seen_chunks
+        # only guards text extraction — the additive cnt/weight aggregates would
+        # be double-summed — so a batch whose id is already recorded in the
+        # LATEST marker is a no-op (standard foreachBatch idempotency pattern).
+        if batch_id >= 0 and batch_id <= self._latest_marker()["batch_id"]:
+            return
         spans = S.explode_spans(docs_batch)
         chunk_rows = S.chunk_occurrences(spans).localCheckpoint()
         chunks = S.dedup_chunk_occurrences(chunk_rows).localCheckpoint()
@@ -148,6 +160,7 @@ class IncrementalIndexer:
         self._commit(
             v + 1,
             {"entity_state": d_ent, "edge_state": d_edge, "seen_chunks": seen_next},
+            batch_id=batch_id,
         )
 
     # -- finalize ---------------------------------------------------------

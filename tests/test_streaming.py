@@ -61,3 +61,18 @@ def test_incremental_equals_batch(spark, corpus, documents_df, pipeline_out, tmp
     assert got_g == exp_g
     # state actually advanced across micro-batches
     assert indexer._latest() >= 1
+
+    # at-least-once replay: foreachBatch re-delivering an already-committed
+    # batch_id (crash between state commit and stream-checkpoint advance) must
+    # be a no-op — the additive cnt/weight aggregates would otherwise
+    # double-count even though seen_chunks guards extraction.
+    last = indexer._latest_marker()
+    replay_docs = spark.createDataFrame(rows[half:], schema.DOCUMENTS)
+    indexer.process_batch(replay_docs, last["batch_id"])
+    assert indexer._latest_marker() == last  # no new state version
+    ents2, edges2 = indexer.finalize()
+    got_e2 = {
+        r.entity_name: (r.entity_type, r.description, frozenset(r.source_ids))
+        for r in ents2.collect()
+    }
+    assert got_e2 == exp_e
