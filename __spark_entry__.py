@@ -222,6 +222,36 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dups_lsh(spark, sf_dir):
+    """Scale-path embedding near-dup: sign-bit bucket join (Hamming<=1
+    multi-probe) + exact cosine verify. Exact SQL oracle — the candidate
+    criterion (bucket Hamming distance <= 1) is SQL-expressible."""
+    from mmgraphrag_spark.operators.dedup import embedding_near_dups_lsh
+
+    # threshold 0.35: the synthetic embeddings top out at cosine ~0.51, so a
+    # production-style 0.9 threshold would only ever assert on an empty set
+    out = embedding_near_dups_lsh(_emb(spark, sf_dir), threshold=0.35, n_bits=8)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. The pigeonhole chunk-bucket candidate pass is
+    complete for Hamming <= max_hamming, so the result EQUALS the all-pairs
+    Hamming filter — which is the (exact) SQL oracle."""
+    from mmgraphrag_spark.operators.dedup import simhash, simhash_near_dups
+
+    sims = simhash(_flat(spark, sf_dir), "doc_id", "text", bits=32)
+    return simhash_near_dups(sims, max_hamming=3, bits=32).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 def _q_signbit_buckets(spark, sf_dir):
     from mmgraphrag_spark.operators.similarity import signbit_bucket
 
@@ -351,6 +381,36 @@ def _q_w4_ranking(spark, sf_dir):
     )
 
 
+def _q_w5_edge_ranking(spark, sf_dir):
+    """W5 + A10: seed edges ranked by (endpoint-degree sum, weight) desc,
+    kept while the running description-token sum fits the budget — the
+    query-path related_edges operator over an events-derived edge set."""
+    from mmgraphrag_spark.query import related_edges
+
+    ev = _events(spark, sf_dir)
+    edges = (
+        ev.select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("u"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+            (F.col("event_id") % 7 + 1).cast("double").alias("weight"),
+            F.concat(F.lit("rel "), F.col("event_type")).alias("description"),
+        )
+        .filter(F.col("src") != F.col("tgt"))
+        .groupBy("src", "tgt")
+        .agg(F.sum("weight").alias("weight"), F.min("description").alias("description"))
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 5 == 0)
+        .select(F.concat(F.lit("u"), F.col("user_id")).alias("entity_name"))
+        .distinct()
+    )
+    out = related_edges(seeds, edges, budget_tokens=30)
+    return out.select(
+        "src", "tgt", "description", "weight",
+        F.col("edge_rank").cast("bigint").alias("edge_rank"),
+    )
+
+
 def _q_w2_neighbor_window(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -449,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
+        "simhash_pairs": _q_simhash_pairs,
         "signbit_buckets": _q_signbit_buckets,
         "centroid_dims": _q_centroid_dims,
         "a1_entity_merge": _q_a1_entity_merge,
@@ -458,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_anti_join": _q_j1_anti_join,
         "a10_token_budget": _q_a10_token_budget,
         "w4_ranking": _q_w4_ranking,
+        "w5_edge_ranking": _q_w5_edge_ranking,
         "w2_neighbor_window": _q_w2_neighbor_window,
         "u6_lcc": _q_u6_lcc,
         "a3_summarize": _q_a3_summarize,
@@ -636,7 +699,7 @@ SELECT DISTINCT x.id AS a, y.id AS b
 FROM bounded x JOIN bounded y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
 """
 
-    sql["simhash"] = f"""
+    _simhash_cte = f"""
 WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS w FROM documents),
 tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
 bits AS (
@@ -644,10 +707,22 @@ bits AS (
          sum(CASE WHEN ascii(substr(md5(tk), bb.b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
   FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
   GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id AS id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
 )
-SELECT doc_id AS id,
-       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY 1
+"""
+    sql["simhash"] = _simhash_cte + "SELECT id, simhash FROM sh"
+
+    # exact: the pigeonhole chunk-bucket candidate pass is complete for
+    # Hamming <= 3, so the operator's output equals this all-pairs filter
+    sql["simhash_pairs"] = _simhash_cte + """
+SELECT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sh x JOIN sh y ON x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
 
     sql["jaccard_pairs"] = _SHINGLES3 + """
@@ -786,6 +861,30 @@ s AS (
   FROM u GROUP BY 1, 2
 )
 SELECT a, b, round(cosine, 4) AS cosine FROM s WHERE cosine >= 0.9
+"""
+
+    # candidate criterion = sign-bit buckets within Hamming distance 1 (one
+    # side probes its bucket + all 1-bit flips), verified by exact cosine —
+    # both halves SQL-expressible, so this oracle is exact, not rows-only
+    sql["embedding_near_dups_lsh"] = """
+WITH bk0 AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN x >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+          FROM (SELECT unnest(embedding[1:8]) AS x,
+                       generate_subscripts(embedding[1:8], 1) AS i)) AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS ea, b.embedding AS eb
+  FROM bk0 a JOIN bk0 b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+),
+u AS (SELECT a, b, CAST(unnest(ea) AS DOUBLE) AS x, CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+s AS (
+  SELECT a, b, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cosine
+  FROM u GROUP BY 1, 2
+)
+SELECT a, b, round(cosine, 4) AS cosine FROM s WHERE cosine >= 0.35
 """
 
     sql["signbit_buckets"] = """
@@ -927,6 +1026,37 @@ SELECT event_id, event_type, value, rnk FROM (
          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
   FROM events
 ) WHERE rnk <= 5
+"""
+
+    sql["w5_edge_ranking"] = r"""
+WITH e0 AS (
+  SELECT 'u' || user_id AS src, 'u' || ((user_id * 3 + 1) % 25) AS tgt,
+         CAST(event_id % 7 + 1 AS DOUBLE) AS w, 'rel ' || event_type AS d
+  FROM events
+),
+e AS (
+  SELECT src, tgt, sum(w) AS weight, min(d) AS description
+  FROM e0 WHERE src <> tgt GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT src AS node FROM e UNION ALL SELECT tgt FROM e
+  ) GROUP BY 1
+),
+seeds AS (SELECT DISTINCT 'u' || user_id AS entity_name FROM events WHERE user_id % 5 = 0),
+se AS (
+  SELECT e.src, e.tgt, e.weight, e.description, ds.degree + dt.degree AS edge_rank
+  FROM e JOIN deg ds ON ds.node = e.src JOIN deg dt ON dt.node = e.tgt
+  WHERE EXISTS (SELECT 1 FROM seeds s WHERE s.entity_name = e.src OR s.entity_name = e.tgt)
+),
+r AS (
+  SELECT *, sum(len(string_split_regex(description, '\s+'))) OVER (
+      ORDER BY edge_rank DESC, weight DESC, src ASC, tgt ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM se
+)
+SELECT src, tgt, description, weight, CAST(edge_rank AS BIGINT) AS edge_rank
+FROM r WHERE cum <= 30
 """
 
     sql["w2_neighbor_window"] = """

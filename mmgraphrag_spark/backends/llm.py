@@ -96,6 +96,58 @@ class ChatClient:
         raise RuntimeError(f"chat completion failed after {self.max_retries} tries") from last
 
 
+class LLMJudge:
+    """L7/L8 cross-modal alignment judge (reference fusion.py:227-242): one
+    chat call per image entity offering its same-cluster text candidates; the
+    reply must be exactly one of the offered candidate names — "no match" or
+    any other reply means no alignment (the reference validates the returned
+    name against the candidate list the same way). Plug into
+    ``operators.fusion.judge_alignment(clustered, backend=LLMJudge(client))``.
+    """
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def judge(self, image_name: str, image_description: str, candidates: list[str]):
+        if not candidates:
+            return None
+        msg = prompts.ALIGNMENT_JUDGE.format(
+            candidates=", ".join(candidates),
+            image_entity=image_name,
+            image_description=image_description or "",
+        )
+        reply = self.client.complete([{"role": "user", "content": msg}]).strip()
+        if reply in candidates:
+            return reply
+        # tolerate quote-wrapping drift between the record grammar and the reply
+        bare = reply.strip('"')
+        for c in candidates:
+            if bare == c.strip('"'):
+                return c
+        return None
+
+
+class LLMSummarizer:
+    """L2/A3 description summarizer (text2graph.py:73-116): invoked only for
+    descriptions whose token count crossed the threshold — the filter and
+    join-back live in ``operators.merge.summarize_long_descriptions``; this
+    class only owns the prompt + chat call. The prompt lists the
+    GRAPH_FIELD_SEP-split description fragments like the reference's
+    description_list."""
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def summarize(self, entity_name: str, description: str) -> str:
+        from mmgraphrag_spark import GRAPH_FIELD_SEP
+
+        frags = (description or "").split(GRAPH_FIELD_SEP)
+        msg = prompts.SUMMARIZE_DESCRIPTIONS.format(
+            entity_name=entity_name, descriptions="\n".join(frags)
+        )
+        return self.client.complete([{"role": "user", "content": msg}]).strip()
+
+
 class LLMExtractor:
     """L1 extraction with the gleaning loop (text2graph.py:346-369): initial
     extraction, then up to ``max_gleaning`` continuation rounds. Reference

@@ -255,14 +255,63 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Pairs of embeddings with cosine >= threshold.
 
-    Test-scale path: full self-join (id a < b) with JVM-side cosine. Scale
-    path: pre-bucket by sign-bits of the leading components (see
-    similarity.signbit_buckets) and join within buckets — swap the join input,
-    the verify expression is identical."""
+    Exact-oracle path: full self-join (id a < b) with JVM-side cosine — the
+    correctness baseline for small inputs and the recall reference for the
+    bucketed variant. For anything big use ``embedding_near_dups_lsh``: this
+    one plans as a BroadcastNestedLoopJoin (O(N^2)) and would not survive
+    scale."""
     a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-bit LSH candidate join + exact
+    cosine verify (same blocking as similarity.lsh_topk).
+
+    One side keyed by its own sign-bit bucket; the other side expanded to its
+    bucket plus all Hamming-1 flips (multi-probe), so the equi-join covers
+    every pair whose sign patterns differ in at most ONE of the first
+    ``n_bits`` components. High-cosine pairs rarely disagree on component
+    signs, so recall vs the exact all-pairs result is high (asserted in
+    tests); the join itself is a single hash shuffle on the bucket key —
+    O(sum of bucket^2), never the full O(N^2) cartesian. At 100 TB raise
+    ``n_bits`` (16-24) so bucket sizes stay bounded; the plan shape is
+    unchanged."""
+    from mmgraphrag_spark.operators.similarity import signbit_bucket
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("_bkt"),
+    )
+    left = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"), F.col("_bkt").alias("bucket")
+    )
+    flips = F.array(
+        F.col("_bkt"), *[F.col("_bkt").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    right = base.select(
+        F.col("_id").alias("b"),
+        F.col("_v").alias("_vb"),
+        F.explode(flips).alias("bucket"),
+    )
+    # each unordered pair matches on at most one bucket value (the probe set
+    # per row is distinct), so no dedup pass is needed after the join
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", cosine_similarity_col(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")

@@ -260,34 +260,38 @@ def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     k = min(k, n)
     vals, vecs = np.linalg.eigh(L)
     emb = np.abs(vecs[:, :k])
-    # M5: epsilon-graph union-find over spectral coords (deterministic DBSCAN
+    # M5: epsilon-graph clustering over spectral coords (deterministic DBSCAN
     # stand-in, eps matches the reference's 0.5; documented deviation: no
-    # min_samples noise label — singletons become their own cluster)
-    parent = list(range(n))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    # min_samples noise label — singletons become their own cluster).
+    # Fully vectorized: pairwise distances via the Gram identity
+    # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y (O(n^2) C ops, no n x n x k broadcast
+    # temp), then connected components by min-label propagation with pointer
+    # jumping — converges in O(log n) dense-matrix rounds, replacing the
+    # interpreted O(n^2) Python pair loop that dominated the fusion stage.
+    sq = (emb * emb).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
+    d2 = (d2 + d2.T) * 0.5  # exact symmetry (BLAS rounding)
+    adj = d2 <= eps * eps  # diagonal d2=0 keeps self-edges
+    labels = np.arange(n)
+    while True:
+        nbr_min = np.where(adj, labels[None, :], n).min(axis=1)
+        new = np.minimum(labels, nbr_min)
+        new = new[new]  # pointer jumping: halve chain depth per round
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # label values = min member index per component, matching the previous
+    # union-find's attach-max-under-min convention.
     text_mask = (nodes["kind"] == "text").to_numpy()
-    for i in range(n):
-        for j in range(i + 1, n):
-            if np.linalg.norm(emb[i] - emb[j]) <= eps:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-    labels = np.array([find(i) for i in range(n)])
     # M6: image entities take the label of the nearest TEXT entity by cosine
     # (n_neighbors=1 with a guard for blocks without text members; the
     # reference's unconditional n=3 refit crashes on tiny blocks — guarded).
-    if text_mask.any():
-        sims = A  # cosine Gram (pre-reweight scale is fine for argmax)
-        for i in range(n):
-            if not text_mask[i]:
-                tsims = np.where(text_mask, sims[i], -np.inf)
-                labels[i] = labels[int(np.argmax(tsims))]
+    if text_mask.any() and not text_mask.all():
+        sims = np.where(text_mask[None, :], A, -np.inf)  # cosine Gram
+        nearest_txt = sims.argmax(axis=1)
+        img_rows = ~text_mask
+        labels = labels.copy()
+        labels[img_rows] = labels[nearest_txt[img_rows]]
     return pd.DataFrame(
         {"entity_name": nodes["entity_name"], "kind": nodes["kind"], "label": labels}
     )
@@ -376,13 +380,28 @@ def spectral_cluster_blocks(
 # 3. Judge (J14)
 # ---------------------------------------------------------------------------
 
-def judge_alignment(clustered: DataFrame) -> DataFrame:
-    """Same-block same-label (img, text) candidate pairs -> alias pairs.
+def judge_alignment(
+    clustered: DataFrame,
+    backend=None,
+    descriptions: DataFrame | None = None,
+) -> DataFrame:
+    """Same-block same-label (img, text) candidate pairs -> alias pairs (J14).
 
-    Deterministic judge: normalized image name with any trailing parenthesized
-    qualifier stripped must equal the normalized text name (stand-in for the
-    reference's MLLM judgment, fusion.py:227-242). One alias per image entity,
-    best candidate by name order. Output: (alias, canonical_candidate).
+    ``backend=None`` (default, offline/deterministic): normalized image name
+    with any trailing parenthesized qualifier stripped must equal the
+    normalized text name — pure JVM expressions, stand-in for the reference's
+    LLM judgment (fusion.py:227-242). One alias per image entity, best
+    candidate by name order.
+
+    ``backend`` set (e.g. :class:`mmgraphrag_spark.backends.llm.LLMJudge`):
+    each image entity's same-cluster text candidates are gathered into ONE
+    judge call — ``backend.judge(image_name, image_description, candidates)``
+    must return the chosen candidate name or ``None`` (reference semantics:
+    the reply must be exactly one candidate, anything else is no-match).
+    ``descriptions`` (entity_name, description) feeds the judge prompt.
+    Candidate gathering stays JVM-side; only the per-image judge call crosses
+    into Python (Arrow batches, partitions pinned so AQE can't serialize the
+    stage). Output: (alias, canonical).
     """
     img = clustered.filter(F.col("kind") == "img").select(
         "block_id", "label", F.col("entity_name").alias("img_name")
@@ -390,18 +409,53 @@ def judge_alignment(clustered: DataFrame) -> DataFrame:
     txt = clustered.filter(F.col("kind") == "text").select(
         "block_id", "label", F.col("entity_name").alias("txt_name")
     )
-    img_norm = F.regexp_replace(normalize_name(F.col("img_name")), r"\([^)]*\)$", "")
-    cand = (
-        img.join(txt, ["block_id", "label"])
-        .filter(img_norm == normalize_name(F.col("txt_name")))
-        .select("img_name", "txt_name")
-        .distinct()
+    if backend is None:
+        img_norm = F.regexp_replace(normalize_name(F.col("img_name")), r"\([^)]*\)$", "")
+        cand = (
+            img.join(txt, ["block_id", "label"])
+            .filter(img_norm == normalize_name(F.col("txt_name")))
+            .select("img_name", "txt_name")
+            .distinct()
+        )
+        w = Window.partitionBy("img_name").orderBy("txt_name")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("img_name").alias("alias"), F.col("txt_name").alias("canonical"))
+        )
+
+    cand = img.join(txt, ["block_id", "label"]).select("img_name", "txt_name").distinct()
+    if descriptions is not None:
+        desc = descriptions.select(
+            F.col("entity_name").alias("img_name"),
+            F.col("description").alias("img_desc"),
+        )
+        cand = cand.join(desc, "img_name", "left")
+    else:
+        cand = cand.withColumn("img_desc", F.lit(""))
+    agg = cand.groupBy("img_name").agg(
+        F.array_sort(F.collect_set("txt_name")).alias("cands"),
+        F.coalesce(F.first("img_desc"), F.lit("")).alias("img_desc"),
     )
-    w = Window.partitionBy("img_name").orderBy("txt_name")
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("img_name").alias("alias"), F.col("txt_name").alias("canonical"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            alias, canonical = [], []
+            for name, desc, cands in zip(
+                pdf["img_name"], pdf["img_desc"], pdf["cands"]
+            ):
+                cands = list(cands)
+                choice = backend.judge(name, desc, cands)
+                # hard validation mirroring the reference: the judged name
+                # must be one of the offered candidates, else no match
+                if choice is not None and choice in cands:
+                    alias.append(name)
+                    canonical.append(choice)
+            yield pd.DataFrame({"alias": alias, "canonical": canonical})
+
+    n_parts = clustered.sparkSession.sparkContext.defaultParallelism
+    return agg.repartition(n_parts, "img_name").mapInPandas(
+        run, "alias string, canonical string"
     )
 
 # ---------------------------------------------------------------------------

@@ -89,20 +89,55 @@ def summarize_long_descriptions(
     entities: DataFrame,
     max_tokens: int = 500,
     keep_tokens: int = 120,
+    backend=None,
 ) -> DataFrame:
     """A3: descriptions over the token threshold get summarized.
 
-    Reference calls an LLM (text2graph.py:73-116, threshold 500); offline mode
-    uses a deterministic truncation summarizer (first keep_tokens tokens +
-    ellipsis marker). JVM-side slice/concat — the seam for the LLM-summarize
-    pandas UDF is this filter+join-back shape.
+    ``backend=None`` (offline default): deterministic truncation summarizer
+    (first keep_tokens tokens + ellipsis marker), pure JVM slice/concat.
+
+    ``backend`` set (e.g. ``backends.llm.LLMSummarizer``): the reference shape
+    (text2graph.py:73-116, threshold 500) — ONLY the rows over the threshold
+    go through a batched Arrow UDF calling ``backend.summarize(entity_name,
+    description)``, then join back onto the untouched majority. Short
+    descriptions never leave the JVM, so the LLM path costs exactly one
+    python stage over the (rare) long tail.
     """
     toks = F.split(F.col("description"), r"\s+")
     needs = F.size(toks) >= max_tokens
-    summarized = F.concat_ws(" ", F.slice(toks, 1, keep_tokens))
-    return entities.withColumn(
-        "description",
-        F.when(needs, F.concat(summarized, F.lit(" ..."))).otherwise(F.col("description")),
+    if backend is None:
+        summarized = F.concat_ws(" ", F.slice(toks, 1, keep_tokens))
+        return entities.withColumn(
+            "description",
+            F.when(needs, F.concat(summarized, F.lit(" ..."))).otherwise(
+                F.col("description")
+            ),
+        )
+
+    long_rows = entities.filter(needs).select("entity_name", "description")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "entity_name": pdf["entity_name"],
+                    "_summary": [
+                        backend.summarize(n, d)
+                        for n, d in zip(pdf["entity_name"], pdf["description"])
+                    ],
+                }
+            )
+
+    n_parts = entities.sparkSession.sparkContext.defaultParallelism
+    summaries = long_rows.repartition(n_parts, "entity_name").mapInPandas(
+        run, "entity_name string, _summary string"
+    )
+    return (
+        entities.join(summaries, "entity_name", "left")
+        .withColumn("description", F.coalesce(F.col("_summary"), F.col("description")))
+        .drop("_summary")
     )
 
 def triples_view(edges: DataFrame) -> DataFrame:

@@ -37,9 +37,16 @@ def run_pipeline(
     max_block: int = 2000,
     checkpointer=None,
     blocking: str = "neighborhood",
+    judge_backend=None,
+    summarizer=None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
-    "aliases", "mentions", ...} DataFrames (each a committed stage snapshot)."""
+    "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
+
+    ``judge_backend``/``summarizer`` plug LLM-backed L7-L9 judging and L2
+    summarization into the otherwise-deterministic offline pipeline (see
+    backends.llm.LLMJudge / LLMSummarizer); None keeps the deterministic
+    defaults."""
     cp = checkpointer or LocalCheckpointer()
     # Hash-partition documents by doc_id up front (north-rule layout). Without
     # this, a small parquet source arrives as ~1 input split and the whole
@@ -87,13 +94,14 @@ def run_pipeline(
     entities = M.merge_entities(all_ents_m)
     entities = M.add_dangling_entities(entities, edges)
     entities = cp.stage(
-        "entities_prefusion", M.summarize_long_descriptions(entities)
+        "entities_prefusion",
+        M.summarize_long_descriptions(entities, backend=summarizer),
     )
 
     aliases = build_aliases(
         entities, edges, ents_m, img_ents_m, media, occurrences,
         window=fusion_window, max_block=max_block, checkpointer=cp,
-        blocking=blocking,
+        blocking=blocking, judge_backend=judge_backend,
     )
     entities_f, edges_f = FU.contract(entities, edges, aliases)
     entities_f = cp.stage("entities", entities_f)
@@ -126,6 +134,7 @@ def build_aliases(
     max_block: int = 2000,
     checkpointer=None,
     blocking: str = "neighborhood",
+    judge_backend=None,
 ) -> DataFrame:
     """Fusion stages 1-4 -> alias map (alias -> canonical).
 
@@ -203,5 +212,12 @@ def build_aliases(
     clustered = cp.stage(
         "fusion_clusters", FU.spectral_cluster_blocks(members, block_edges)
     )
-    pairs = cp.stage("alias_pairs", FU.judge_alignment(clustered))
+    pairs = cp.stage(
+        "alias_pairs",
+        FU.judge_alignment(
+            clustered,
+            backend=judge_backend,
+            descriptions=entities.select("entity_name", "description"),
+        ),
+    )
     return cp.stage("aliases", FU.alias_map(pairs, entities))

@@ -70,3 +70,44 @@ def test_embedding_near_dups(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = {(r.a, r.b) for r in D.embedding_near_dups(df, threshold=0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """Bucketed near-dup must find (nearly) every true near-dup pair: genuine
+    near-duplicate vectors (cosine >= 0.95) almost never disagree on leading
+    component signs, so Hamming<=1 multi-probe recall is high. Deterministic
+    synthetic corpus: 40 base vectors, each with a jittered near-duplicate."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    dim = 16
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in base))
+        base = [x / n for x in base]
+        dup = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, dup))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = {(r.a, r.b) for r in D.embedding_near_dups(df, threshold=0.95).collect()}
+    approx = {
+        (r.a, r.b)
+        for r in D.embedding_near_dups_lsh(df, threshold=0.95, n_bits=8).collect()
+    }
+    assert len(exact) >= 40  # every planted duplicate pair is a true near-dup
+    assert approx <= exact  # no false positives: same verify expression
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_embedding_near_dups_lsh_no_bnlj(spark):
+    """The bucketed variant must plan as an equi-join on the bucket key —
+    never a BroadcastNestedLoopJoin/cartesian like the exact path."""
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.9, 0.1])], ["vec_id", "embedding"])
+    plan = D.embedding_near_dups_lsh(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

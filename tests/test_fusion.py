@@ -138,3 +138,49 @@ def test_lsh_blocks_group_similar_text(spark):
         .count()
     )
     assert xy > 0  # identical text always shares all bands
+
+
+def test_judge_alignment_llm_backend(spark):
+    """LLM judge path (J14 with backend): per image entity, one judge call over
+    its same-cluster candidates; only a reply naming an offered candidate
+    aligns. The scripted reply names APPLE, which is a candidate only for the
+    apple image entity — the chair entity's identical reply fails validation."""
+    from mmgraphrag_spark.backends.llm import ChatClient, LLMJudge, ScriptedTransport
+
+    clustered = spark.createDataFrame(
+        [
+            ("b1", '"APPLE (LOGO)"', "img", 0),
+            ("b1", '"APPLE"', "text", 0),
+            ("b1", '"BANANA"', "text", 0),
+            ("b2", '"CHAIR"', "img", 1),
+            ("b2", '"TABLE"', "text", 1),
+        ],
+        ["block_id", "entity_name", "kind", "label"],
+    )
+    descs = spark.createDataFrame(
+        [('"APPLE (LOGO)"', "an apple logo"), ('"CHAIR"', "a wooden chair")],
+        ["entity_name", "description"],
+    )
+    client = ChatClient("http://fake", transport=ScriptedTransport(['"APPLE"']))
+    out = {
+        (r.alias, r.canonical)
+        for r in FU.judge_alignment(
+            clustered, backend=LLMJudge(client), descriptions=descs
+        ).collect()
+    }
+    assert out == {('"APPLE (LOGO)"', '"APPLE"')}
+
+
+def test_llm_judge_validation():
+    """Driver-side unit: the judge accepts only offered candidates, tolerating
+    quote-wrapping drift, and maps anything else (incl. "no match") to None."""
+    from mmgraphrag_spark.backends.llm import ChatClient, LLMJudge, ScriptedTransport
+
+    def judge_with(reply, candidates):
+        client = ChatClient("http://fake", transport=ScriptedTransport([reply]))
+        return LLMJudge(client).judge('"IMG"', "desc", candidates)
+
+    assert judge_with('"A"', ['"A"', '"B"']) == '"A"'
+    assert judge_with("A", ['"A"', '"B"']) == '"A"'  # unquoted reply
+    assert judge_with("no match", ['"A"']) is None
+    assert judge_with('"C"', ['"A"', '"B"']) is None  # not offered

@@ -93,3 +93,30 @@ def test_merge_is_input_order_insensitive(spark):
     a = M.merge_entities(_ents(spark, rows)).collect()
     b = M.merge_entities(_ents(spark, rows[::-1])).collect()
     assert a == b
+
+
+def test_summarize_llm_backend(spark):
+    """LLM summarize path (L2/A3 with backend): only rows over the token
+    threshold go through the chat call; short rows pass through untouched."""
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        LLMSummarizer,
+        ScriptedTransport,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            ('"E1"', "T", " ".join(["w"] * 600), ["s1"]),
+            ('"E2"', "T", "short desc", ["s2"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    client = ChatClient(
+        "http://fake", transport=ScriptedTransport(["a concise summary"])
+    )
+    out = M.summarize_long_descriptions(
+        ents, max_tokens=500, backend=LLMSummarizer(client)
+    )
+    got = {r.entity_name: r.description for r in out.collect()}
+    assert got['"E1"'] == "a concise summary"
+    assert got['"E2"'] == "short desc"
