@@ -107,6 +107,26 @@ def _q_c1_chunking(spark, sf_dir):
     ).distinct()
 
 
+def _q_c1_chunking_bpe(spark, sf_dir):
+    """C1 over BPE-ish tokens (P9): JVM regex-token sliding window. The
+    tokenizer-backend python path (chunk_text_spans_tokenized with
+    RegexTokenizerBackend) produces identical chunks — asserted in pytest —
+    so this exact SQL oracle also vouches for the pandas-UDF plumbing."""
+    from mmgraphrag_spark.operators.spans import chunk_text_spans_bpe
+
+    flat = _flat(spark, sf_dir)
+    spans = flat.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("text").alias("kind"),
+        F.col("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return chunk_text_spans_bpe(spans, max_tokens=32, overlap=8).select(
+        "chunk_id", "content", F.col("tokens").cast("bigint").alias("tokens")
+    ).distinct()
+
+
 def _q_exact_dedup(spark, sf_dir):
     from mmgraphrag_spark.operators.dedup import exact_dedup_groups
 
@@ -491,6 +511,21 @@ def _q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """Rows-only check: IVF approximate top-k (k-means coarse quantizer +
+    probed-cell search; recall vs brute force asserted in pytest — the
+    iterative fit has no closed-form SQL oracle)."""
+    from mmgraphrag_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3, max_iter=3).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_sequence": _q_spans_sequence,
@@ -498,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": _q_kg_entities,
         "kg_aliases": _q_kg_aliases,
         "c1_chunking": _q_c1_chunking,
+        "c1_chunking_bpe": _q_c1_chunking_bpe,
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
         "lsh_pairs": _q_lsh_pairs,
@@ -527,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_media_assoc": _q_kg_media_assoc,
         "media_features": _q_media_features,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -645,6 +682,28 @@ starts AS (
 ),
 chunks AS (
   SELECT array_to_string(w[s + 1 : s + 32], ' ') AS content,
+         len(w[s + 1 : s + 32]) AS tokens
+  FROM starts
+)
+SELECT DISTINCT 'chunk-' || md5(content) AS chunk_id, content,
+       CAST(tokens AS BIGINT) AS tokens
+FROM chunks WHERE tokens > 0
+"""
+
+    # same TOKEN_PATTERN as backends.tokenizer (RE2/Java-regex-identical);
+    # windows re-join tokens with no separator, so content round-trips exactly
+    sql["c1_chunking_bpe"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all({clean}, '\\s*(?:[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS s
+  FROM t
+),
+chunks AS (
+  SELECT array_to_string(w[s + 1 : s + 32], '') AS content,
          len(w[s + 1 : s + 32]) AS tokens
   FROM starts
 )

@@ -107,6 +107,119 @@ def lsh_topk(
     )
 
 
+def assign_nearest_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) x (label, centroid) -> (id, vec, label of nearest centroid by
+    cosine, ties to the smallest label).
+
+    Centroids are k rows -> broadcast; the argmax is a groupBy(id) max-struct
+    (map-side partial agg), NOT a window — one hash shuffle of N rows, no
+    N*k-row sort."""
+    c = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_cv"))
+    scored = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("_cos", cosine_similarity_col(F.col("_v"), F.col("_cv")))
+    )
+    best = scored.groupBy("_id").agg(
+        F.first("_v").alias("_v"),
+        F.max(
+            F.struct(F.col("_cos").alias("c"), (-F.col("_cl")).cast("long").alias("nl"))
+        ).alias("_b"),
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        (-F.col("_b.nl")).cast("int").alias("label"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: Lloyd's k-means, fully DataFrame-native.
+
+    Init = the k lowest-id vectors (deterministic); each round assigns every
+    vector to its nearest centroid (broadcast k rows, partial-agg argmax) and
+    recomputes means via centroid_per_label (posexplode + avg — partial-agg
+    friendly, no vector collect_list). Lineage is cut per round
+    (localCheckpoint) so Catalyst never re-analyzes the unrolled loop.
+    Returns (label, centroid)."""
+    # unpartitioned window is fine HERE: it runs over exactly k rows (post
+    # limit), not the corpus — Spark's single-partition warning is expected
+    w = Window.orderBy(id_col)
+    init = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .withColumn("label", F.row_number().over(w) - 1)
+        .select("label", F.col(vec_col).alias("centroid"))
+        .localCheckpoint()
+    )
+    centroids = init
+    for _ in range(max_iter):
+        assigned = assign_nearest_centroid(embeddings, centroids, id_col, vec_col)
+        centroids = centroid_per_label(assigned, "label", vec_col).localCheckpoint()
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: fit the coarse quantizer, bucket the corpus by
+    nearest centroid (the inverted file), probe each query's ``n_probe``
+    nearest cells, exact cosine within the probed cells only.
+
+    Scale shape: the corpus-side join key is the cell label (single hash
+    shuffle, cells ~N/n_centroids); queries explode x n_probe. At 100 TB
+    raise n_centroids so cells stay bounded — the plan is unchanged. Same
+    output shape as brute_force_topk; recall vs brute force is asserted in
+    pytest (approximate results have no SQL oracle)."""
+    centroids = kmeans_fit(corpus, k=n_centroids, max_iter=max_iter,
+                           id_col=id_col, vec_col=vec_col)
+    inverted = assign_nearest_centroid(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "label"
+    )
+    c = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_ctr"))
+    qcells = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("_cos", cosine_similarity_col(F.col("_qv"), F.col("_ctr")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("_cl"))
+    probes = (
+        qcells.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_cl").alias("label"))
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def centroid_per_label(
     embeddings: DataFrame,
     label_col: str = "label",

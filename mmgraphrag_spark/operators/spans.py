@@ -115,6 +115,125 @@ def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
         F.col("offset").alias("chunk_order_index"),
     )
 
+def chunk_text_spans_bpe(
+    spans: DataFrame,
+    max_tokens: int = 1200,
+    overlap: int = 100,
+) -> DataFrame:
+    """C1 over BPE-ish tokens (P9 offline path): one token = optional leading
+    whitespace + (letter run | digit run | single symbol), extracted with ONE
+    JVM regex pass; window content re-joins tokens with no separator, so text
+    round-trips exactly (mid-text windows start with the leading whitespace of
+    their first token — the same shape tiktoken's decode produces,
+    preprocessing.py:30-69). Fully SQL-expressible: the driver oracle
+    reproduces it with DuckDB regexp_extract_all + list slicing.
+
+    The python-backend variant (``chunk_text_spans_tokenized``) produces
+    IDENTICAL output when given ``RegexTokenizerBackend`` — asserted in tests
+    — so swapping in real tiktoken changes only token boundaries, not
+    plumbing."""
+    from mmgraphrag_spark.backends.tokenizer import TOKEN_PATTERN
+
+    step = max_tokens - overlap
+    toks = F.regexp_extract_all(
+        F.trim(clean_str_col(F.col("text"))), F.lit(TOKEN_PATTERN), 0
+    )
+    t = (
+        spans.filter(F.col("kind") == "text")
+        .withColumn("_toks", toks)
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_starts",
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step)),
+        )
+        .select(
+            "doc_id",
+            "offset",
+            F.col("_toks"),
+            F.posexplode("_starts").alias("_w", "_start"),
+        )
+        .withColumn("_window", F.slice("_toks", F.col("_start") + 1, max_tokens))
+        .select(
+            "doc_id",
+            "offset",
+            F.array_join("_window", "").alias("content"),
+            F.size("_window").alias("tokens"),
+        )
+        .filter(F.col("tokens") > 0)
+    )
+    rows = t.select(
+        mdhash_id(F.col("content"), "chunk-").alias("chunk_id"),
+        "doc_id",
+        "content",
+        "tokens",
+        F.col("offset").alias("chunk_order_index"),
+    )
+    return dedup_chunk_occurrences(rows)
+
+
+def chunk_text_spans_tokenized(
+    spans: DataFrame,
+    tokenizer,
+    max_tokens: int = 1200,
+    overlap: int = 100,
+) -> DataFrame:
+    """C1 with a real tokenizer backend (P9 production path): encode -> token
+    windows -> decode, exactly the reference's chunking_by_token_size
+    (preprocessing.py:30-69) with tiktoken-denominated windows.
+
+    ``tokenizer`` implements encode/decode (see backends.tokenizer). Cleaning
+    and trimming stay JVM-side; only encode/window/decode crosses into Python
+    (Arrow batches, partitions pinned before the UDF stage so AQE cannot
+    coalesce it down to one task)."""
+    import pandas as pd
+
+    step = max_tokens - overlap
+    cleaned = (
+        spans.filter(F.col("kind") == "text")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("offset").cast("long").alias("offset"),
+            F.trim(clean_str_col(F.col("text"))).alias("_text"),
+        )
+    )
+
+    def run(batches):
+        for pdf in batches:
+            doc_ids, offsets, contents, counts = [], [], [], []
+            for doc_id, offset, text in zip(pdf["doc_id"], pdf["offset"], pdf["_text"]):
+                ids = tokenizer.encode(text)
+                n = len(ids)
+                for start in range(0, max(n, 1), step):
+                    window = ids[start : start + max_tokens]
+                    if not window:
+                        continue
+                    doc_ids.append(doc_id)
+                    offsets.append(offset)
+                    contents.append(tokenizer.decode(window))
+                    counts.append(len(window))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "offset": offsets,
+                    "content": contents,
+                    "tokens": counts,
+                }
+            )
+
+    n_parts = spans.sparkSession.sparkContext.defaultParallelism
+    out = cleaned.repartition(n_parts, "doc_id").mapInPandas(
+        run, "doc_id string, offset long, content string, tokens int"
+    )
+    rows = out.select(
+        mdhash_id(F.col("content"), "chunk-").alias("chunk_id"),
+        "doc_id",
+        "content",
+        "tokens",
+        F.col("offset").alias("chunk_order_index"),
+    )
+    return dedup_chunk_occurrences(rows)
+
+
 def filter_new_keys(batch: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     """J1: keep only rows whose key is absent from the existing store
     (storage.py:223-224 filter_keys -> left anti join)."""

@@ -84,24 +84,36 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
     )
     d = d.select(
         "doc_id", "pord", F.concat(text_span, img_spans).alias("sub")
-    ).select("doc_id", "pord", F.posexplode("sub").alias("sord", "span"))
+    ).select(
+        "doc_id",
+        "pord",
+        F.posexplode("sub").alias("sord", "span"),
+    ).select(
+        "doc_id", "pord", "sord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    return _collect_documents(d)
 
-    # global span order per doc -> offset
+
+def _collect_documents(flat: DataFrame) -> DataFrame:
+    """(doc_id, pord, sord, kind, text, media_ref) -> documents(doc_id, spans)
+    with per-doc offsets in (pord, sord) order. Shared by every front-end
+    (markdown, DOCX, ...) — one window shuffle on doc_id."""
     w = Window.partitionBy("doc_id").orderBy("pord", "sord")
-    d = d.withColumn("offset", F.row_number().over(w) - 1)
-    spans = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("span.kind").alias("kind"),
-                F.col("span.text").alias("text"),
-                F.col("span.media_ref").alias("media_ref"),
-                F.col("offset").alias("offset"),
-            )
+    d = flat.withColumn("offset", F.row_number().over(w) - 1)
+    spans = F.collect_list(
+        F.struct(
+            F.col("kind").alias("kind"),
+            F.col("text").alias("text"),
+            F.col("media_ref").alias("media_ref"),
+            F.col("offset").alias("offset"),
         )
     )
     grouped = d.groupBy("doc_id").agg(spans.alias("_spans"))
-    # array_sort on structs orders by fields in order (kind first) — re-sort by
-    # offset explicitly via transform over a sorted index sequence
+    # collect_list order is nondeterministic across shuffles — re-sort by
+    # offset explicitly via transform over a sorted (offset, span) sequence
     by_offset = F.transform(
         F.array_sort(
             F.transform(
@@ -115,3 +127,137 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
         lambda x: x.getField("s"),
     )
     return grouped.select("doc_id", by_offset.alias("spans"))
+
+
+# ---------------------------------------------------------------------------
+# S1: DOCX front-end (stdlib zipfile + ElementTree — no python-docx needed)
+# ---------------------------------------------------------------------------
+
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _parse_docx_bytes(name: str, blob: bytes):
+    """One .docx -> (full_text, [(pord, sord, kind, text, media_ref)]).
+
+    Mirrors the reference walk (preprocessing.py:299-375): full text is the
+    newline-join of paragraph texts (python-docx ``doc.paragraphs``); images
+    are the in-order ``w:drawing//a:blip`` elements whose ``r:embed`` id is
+    resolved through word/_rels/document.xml.rels to the media part. Runs
+    executor-side on the binaryFile content column — pure stdlib."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(blob)) as z:
+        doc_xml = z.read("word/document.xml")
+        try:
+            rels_xml = z.read("word/_rels/document.xml.rels")
+        except KeyError:
+            rels_xml = None
+    rels = {}
+    if rels_xml is not None:
+        for rel in ET.fromstring(rels_xml).iter(f"{_REL_NS}Relationship"):
+            rels[rel.get("Id")] = rel.get("Target") or ""
+    root = ET.fromstring(doc_xml)
+    body = root.find(f"{_W_NS}body")
+    rows, texts = [], []
+    for pord, p in enumerate([] if body is None else body.findall(f"{_W_NS}p")):
+        text = "".join(t.text or "" for t in p.iter(f"{_W_NS}t"))
+        texts.append(text)
+        sord = 0
+        if text.strip():
+            rows.append((pord, sord, "text", text.strip(), ""))
+            sord += 1
+        for blip in p.iter(f"{_A_NS}blip"):
+            target = rels.get(blip.get(f"{_R_NS}embed"), "") or "unresolved"
+            rows.append(
+                (pord, sord, "image", "", f"docx://{name}/{target.lstrip('/')}")
+            )
+            sord += 1
+    return "\n".join(texts), rows
+
+
+def read_docx_dir(spark: SparkSession, path: str, glob: str = "*.docx") -> DataFrame:
+    """Directory of .docx files -> documents(doc_id, spans).
+
+    Distributed: Spark's binaryFile source splits files across tasks; each
+    task unzips + XML-walks its files (stdlib, Arrow-batched). doc_id =
+    "doc-" + md5(full text), the same derivation as the markdown front-end
+    (reference preprocessing.py:107-110)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches):
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "pord", "sord", "kind", "text", "media_ref")}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(fpath)
+                full_text, rows = _parse_docx_bytes(name, bytes(blob))
+                did = "doc-" + hashlib.md5(full_text.encode("utf-8")).hexdigest()
+                for pord, sord, kind, text, ref in rows:
+                    out["doc_id"].append(did)
+                    out["pord"].append(pord)
+                    out["sord"].append(sord)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(ref)
+            yield pd.DataFrame(out)
+
+    flat = raw.mapInPandas(
+        run,
+        "doc_id string, pord int, sord int, kind string, text string, media_ref string",
+    )
+    return _collect_documents(flat)
+
+
+def read_docx_media(spark: SparkSession, path: str, glob: str = "*.docx") -> DataFrame:
+    """Directory of .docx files -> (media_ref, mime, content) binary table —
+    the S7 media-bytes side of the DOCX walk (the reference extracts blobs via
+    doc.part.rels[embed].target_part.blob; here: the zip's word/media parts).
+    media_ref matches read_docx_dir's image spans, so the two tables join."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    mimes = {
+        "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+        "gif": "image/gif", "bmp": "image/bmp", "emf": "image/emf",
+    }
+
+    def run(batches):
+        import io
+        import os
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            refs, mime_l, blobs = [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(fpath)
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as z:
+                    for info in z.infolist():
+                        if not info.filename.startswith("word/media/"):
+                            continue
+                        target = info.filename[len("word/") :]
+                        ext = target.rsplit(".", 1)[-1].lower()
+                        refs.append(f"docx://{name}/{target}")
+                        mime_l.append(mimes.get(ext, "application/octet-stream"))
+                        blobs.append(z.read(info))
+            yield pd.DataFrame({"media_ref": refs, "mime": mime_l, "content": blobs})
+
+    return raw.mapInPandas(run, "media_ref string, mime string, content binary")

@@ -49,3 +49,101 @@ def test_read_markdown_dir_feeds_pipeline(spark, tmp_path):
     assert ('"ENTITY_1"', '"ENTITY_2"') in triples
     # image aligned and contained
     assert any(s.startswith('"IMG_') or o.startswith('"IMG_') for s, o in triples)
+
+
+# -- DOCX front-end (S1) ------------------------------------------------------
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_R = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+_DOC_XML = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="{_W}" xmlns:a="{_A}" xmlns:r="{_R}">
+  <w:body>
+    <w:p><w:r><w:t>First paragraph about </w:t></w:r><w:r><w:t>ENTITY_1.</w:t></w:r></w:p>
+    <w:p>
+      <w:r><w:t>Second paragraph with a figure.</w:t></w:r>
+      <w:r><w:drawing><a:blip r:embed="rId5"/></w:drawing></w:r>
+    </w:p>
+    <w:p><w:r><w:drawing><a:blip r:embed="rId6"/></w:drawing></w:r></w:p>
+    <w:p><w:r><w:t>   </w:t></w:r></w:p>
+    <w:p><w:r><w:t>Closing text.</w:t></w:r></w:p>
+  </w:body>
+</w:document>"""
+
+_RELS_XML = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="{_PKG_R}">
+  <Relationship Id="rId5" Type="{_R}/image" Target="media/image1.png"/>
+  <Relationship Id="rId6" Type="{_R}/image" Target="media/image2.jpeg"/>
+</Relationships>"""
+
+_PNG_BYTES = b"\x89PNG\r\n\x1a\nfakepng"
+_JPG_BYTES = b"\xff\xd8\xfffakejpg"
+
+
+def _write_docx(path):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", _DOC_XML)
+        z.writestr("word/_rels/document.xml.rels", _RELS_XML)
+        z.writestr("word/media/image1.png", _PNG_BYTES)
+        z.writestr("word/media/image2.jpeg", _JPG_BYTES)
+
+
+def test_read_docx_dir_interleaved_spans(spark, tmp_path):
+    """DOCX walk emits the same interleaved span sequence shape as markdown:
+    per-paragraph text spans and in-order a:blip image spans with resolved
+    media targets; whitespace-only paragraphs are dropped."""
+    from mmgraphrag_spark.sources.ingest import read_docx_dir
+
+    d = tmp_path / "docs"
+    os.makedirs(d)
+    _write_docx(str(d / "report.docx"))
+    docs = read_docx_dir(spark, str(d)).collect()
+    assert len(docs) == 1
+    spans = docs[0].spans
+    seq = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
+    assert [o for (_, _, _, o) in seq] == list(range(len(spans)))
+    assert [k for (k, _, _, _) in seq] == ["text", "text", "image", "image", "text"]
+    # run-split paragraph text is concatenated like python-docx para.text
+    assert spans[0].text == "First paragraph about ENTITY_1."
+    assert spans[2].media_ref == "docx://report.docx/media/image1.png"
+    assert spans[3].media_ref == "docx://report.docx/media/image2.jpeg"
+    assert docs[0].doc_id.startswith("doc-")
+
+
+def test_read_docx_media_joins_spans(spark, tmp_path):
+    """The media-bytes table's refs match the span refs (S7 join key) and the
+    blobs round-trip."""
+    from mmgraphrag_spark.sources.ingest import read_docx_dir, read_docx_media
+
+    d = tmp_path / "docs"
+    os.makedirs(d)
+    _write_docx(str(d / "report.docx"))
+    media = {r.media_ref: (r.mime, bytes(r.content)) for r in read_docx_media(spark, str(d)).collect()}
+    assert media["docx://report.docx/media/image1.png"] == ("image/png", _PNG_BYTES)
+    assert media["docx://report.docx/media/image2.jpeg"] == ("image/jpeg", _JPG_BYTES)
+    span_refs = {
+        s.media_ref
+        for r in read_docx_dir(spark, str(d)).collect()
+        for s in r.spans
+        if s.kind == "image"
+    }
+    assert span_refs == set(media)
+
+
+def test_docx_feeds_pipeline(spark, tmp_path):
+    """End-to-end: a DOCX document flows through the full KG pipeline."""
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.sources.ingest import read_docx_dir
+
+    d = tmp_path / "docs"
+    os.makedirs(d)
+    _write_docx(str(d / "report.docx"))
+    docs = read_docx_dir(spark, str(d))
+    out = run_pipeline(spark, docs)
+    assert out["chunks"].count() >= 1
+    assert out["media_spans"].count() == 2  # both blips associated to chunks

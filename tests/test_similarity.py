@@ -50,3 +50,62 @@ def test_centroids(spark):
     assert math.isclose(cents[0][0], 0.95)
     assert math.isclose(cents[1][0], -0.5)
     assert len(cents[0]) == 8
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    """Two well-separated planted clusters -> two centroids, one near each
+    cluster mean; assignment is deterministic (min-id init, struct argmax)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        center = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 1.0, 0.0]
+        rows.append((i, [c + rng.uniform(-0.05, 0.05) for c in center]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = SIM.kmeans_fit(df, k=2, max_iter=4).collect()
+    assert len(cents) == 2
+    tops = sorted(
+        max(range(4), key=lambda d: abs(c.centroid[d])) for c in cents
+    )
+    assert tops == [0, 2]  # one centroid per planted direction
+    assigned = SIM.assign_nearest_centroid(df, SIM.kmeans_fit(df, k=2, max_iter=4))
+    by_label = {}
+    for r in assigned.collect():
+        by_label.setdefault(r.label, set()).add(r.vec_id % 2)
+    assert all(len(v) == 1 for v in by_label.values())  # no cluster mixing
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with a healthy probe count recovers most of the exact top-k."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = df.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(df, q, k=5, n_centroids=8, n_probe=4, max_iter=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.3f}"
+    # rank lists are well-formed: 5 per query, ranks 1..5
+    per_q = {}
+    for r in SIM.ivf_topk(df, q, k=5, n_centroids=8, n_probe=4, max_iter=3).collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

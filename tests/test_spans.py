@@ -142,3 +142,57 @@ def test_associate_media_to_chunks(spark):
     assert len(out) == 1
     fruit_chunk = [c for c in chunks.collect() if "apples" in c.content][0]
     assert out[0].chunk_id == fruit_chunk.chunk_id
+
+
+def test_bpe_chunking_paths_agree(spark, documents_df):
+    """P9 plumbing proof: the python tokenizer-backend chunker with the regex
+    backend must produce EXACTLY the chunks of the pure-JVM BPE-ish chunker —
+    same ids, contents, token counts, positions. A real tiktoken backend then
+    changes only token boundaries, not the Spark plumbing."""
+    from mmgraphrag_spark.backends.tokenizer import RegexTokenizerBackend
+
+    spans = S.explode_spans(documents_df)
+    jvm = S.chunk_text_spans_bpe(spans, max_tokens=40, overlap=10)
+    py = S.chunk_text_spans_tokenized(
+        spans, RegexTokenizerBackend(), max_tokens=40, overlap=10
+    )
+    key = lambda r: (r.chunk_id, r.doc_id, r.content, r.tokens, r.chunk_order_index)
+    assert sorted(map(key, jvm.collect())) == sorted(map(key, py.collect()))
+
+
+def test_bpe_chunk_content_roundtrip(spark):
+    """A window wide enough for the whole text reproduces the cleaned text
+    EXACTLY (decode round-trip: every char belongs to exactly one token —
+    whitespace rides as token prefixes, nothing is lost or reordered)."""
+    import re
+
+    from mmgraphrag_spark.backends.tokenizer import TOKEN_PATTERN
+
+    text = "Hello, world!  Nums 123 + 45; symbols #@& end."
+    docs = _docs(spark, [("d1", [("text", text, "", 0)])])
+    spans = S.explode_spans(docs)
+    rows = S.chunk_text_spans_bpe(spans, max_tokens=1000, overlap=0).collect()
+    assert len(rows) == 1
+    assert rows[0].content == text
+    assert rows[0].tokens == len(re.findall(TOKEN_PATTERN, text))
+
+
+def test_tiktoken_backend_gated():
+    """TiktokenBackend raises ImportError in this container (no tiktoken);
+    default_backend falls back to the regex tokenizer."""
+    import pytest as _pytest
+
+    from mmgraphrag_spark.backends import tokenizer as T
+
+    try:
+        import tiktoken  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with _pytest.raises(ImportError):
+            T.TiktokenBackend()
+        assert isinstance(T.default_backend(), T.RegexTokenizerBackend)
+    else:
+        assert isinstance(T.default_backend(), T.TiktokenBackend)
