@@ -96,6 +96,77 @@ class ChatClient:
         raise RuntimeError(f"chat completion failed after {self.max_retries} tries") from last
 
 
+def salvage_json(output: str):
+    """P16: extract + parse the first {...} block from sloppy LLM output
+    (reference llm.py:145-159 normalize_to_json). Returns dict or None."""
+    import re as _re
+
+    m = _re.search(r"\{.*\}", output or "", _re.DOTALL)
+    if not m:
+        return None
+    try:
+        return json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return None
+
+
+def salvage_json_list(output: str) -> list:
+    """P16: lenient JSON-list extraction (reference llm.py:161-190
+    normalize_to_json_list): unescape, grab the first [...] run, strip
+    truncation commas; on failure fall back to parsing the {...} items one by
+    one so a truncated reply still yields its complete prefix."""
+    import re as _re
+
+    cleaned = (output or "").replace('\\"', '"').strip()
+    m = _re.search(r"\[\s*(\{.*?\})*?\s*]", cleaned, _re.DOTALL)
+    if m:
+        s = _re.sub(r",\s*]", "]", m.group(0))
+        s = _re.sub(r",\s*}$", "}", s)
+        try:
+            obj = json.loads(s)
+            if isinstance(obj, list):
+                return obj
+        except json.JSONDecodeError:
+            pass
+    out = []
+    for item in _re.findall(r"\{.*?\}", cleaned, _re.DOTALL):
+        try:
+            out.append(json.loads(item))
+        except json.JSONDecodeError:
+            continue
+    return out
+
+
+class MllmDescriber:
+    """L3 image description + segmentation gate (reference
+    pdf2md_preprocessing.py:177-198 get_image_description): one MLLM call per
+    media span returning {"description": ..., "segmentation": true|false}.
+    Parsed with the reference's per-field regexes (NOT strict JSON — the
+    reference tolerates malformed replies the same way), defaulting to
+    ("No description.", False). The segmentation flag gates whether object
+    detection runs for that image (operators.scene.detect_scene_objects).
+
+    Image bytes ride as base64 when available; this client is text-protocol
+    (OpenAI-compatible), so the payload shape matches the reference's
+    multimodel_if_cache call."""
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def describe(self, caption: str, context: str, image_b64: str | None = None):
+        import re as _re
+
+        msg = prompts.IMAGE_DESCRIPTION + f"\n\nCaption: {caption}\nContext: {context}"
+        if image_b64:
+            msg += f"\n[image/base64] {image_b64[:64]}..."
+        result = self.client.complete([{"role": "user", "content": msg}])
+        dm = _re.search(r'"description": "([^"]*)"', result)
+        sm = _re.search(r'"segmentation": (\w+)', result)
+        description = dm.group(1) if dm else "No description."
+        segmentation = bool(sm) and sm.group(1).lower() == "true"
+        return description, segmentation
+
+
 class LLMJudge:
     """L7/L8 cross-modal alignment judge (reference fusion.py:227-242): one
     chat call per image entity offering its same-cluster text candidates; the
@@ -125,6 +196,46 @@ class LLMJudge:
             if bare == c.strip('"'):
                 return c
         return None
+
+
+class LLMAnswerer:
+    """L11-L13 answer backends over a real ChatClient, drop-in for
+    query.TemplateAnswerer (same answer/answer_image/merge protocol).
+
+    Mirrors the reference's multimodal query tail (query.py:402-468): one text
+    answer (L11), one answer per ranked image entity with the context + image
+    information in the system prompt (L12), then a TWO-step merge — combine
+    the per-image answers, then merge that with the text answer (L13)."""
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def answer(self, question: str, context: str) -> str:
+        return self.client.complete(
+            [{"role": "user",
+              "content": prompts.RAG_ANSWER.format(context=context, question=question)}]
+        ).strip()
+
+    def answer_image(self, question: str, media_ref: str, context: str) -> str:
+        msg = prompts.MM_ANSWER.format(
+            image_information=media_ref, context=context, question=question
+        )
+        return self.client.complete([{"role": "user", "content": msg}]).strip()
+
+    def merge(self, question: str, answers: list[str]) -> str:
+        if len(answers) <= 1:
+            return answers[0] if answers else ""
+        text_answer, img_answers = answers[0], answers[1:]
+        mm_merged = self.client.complete(
+            [{"role": "user",
+              "content": prompts.MM_MERGE.format(
+                  mm_responses="\n---\n".join(img_answers), question=question)}]
+        ).strip()
+        return self.client.complete(
+            [{"role": "user",
+              "content": prompts.FINAL_MERGE.format(
+                  response=text_answer, mm_response=mm_merged, question=question)}]
+        ).strip()
 
 
 class LLMSummarizer:

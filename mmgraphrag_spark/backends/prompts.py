@@ -80,6 +80,35 @@ RAG_ANSWER = """Answer the question using only the context tables below.
 Question: {question}
 Answer:"""
 
+# L12 — per-image multimodal answer (prompt.py local_rag_response_multimodal)
+MM_ANSWER = """Answer the question using the context tables below AND the
+attached image ({image_information}).
+
+{context}
+
+Question: {question}
+Answer:"""
+
+# L13 — merge the per-image answers (prompt.py local_rag_response_multimodal_merge)
+MM_MERGE = """Combine the following per-image answers into one coherent
+answer, dropping repetition and contradictions:
+
+{mm_responses}
+
+Question: {question}
+Answer:"""
+
+# L13 — final merge of text answer + merged multimodal answer
+# (prompt.py local_rag_response_merge)
+FINAL_MERGE = """Merge the text-evidence answer and the image-evidence answer
+into one final answer. Prefer agreement; note genuine conflicts.
+
+Text answer: {response}
+Image answer: {mm_response}
+
+Question: {question}
+Answer:"""
+
 
 def entity_extraction_prompt(input_text: str, entity_types=None) -> str:
     types = ", ".join(entity_types or DEFAULT_ENTITY_TYPES)

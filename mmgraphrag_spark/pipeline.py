@@ -39,6 +39,7 @@ def run_pipeline(
     blocking: str = "neighborhood",
     judge_backend=None,
     summarizer=None,
+    describer=None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
@@ -64,25 +65,84 @@ def run_pipeline(
     # ONE chunking pass, committed with content; everything downstream derives
     # from this snapshot (dedup window, slim fusion occurrences, J2 candidates)
     chunk_rows = cp.stage("chunk_rows", S.chunk_occurrences(spans))
-    chunks = cp.stage("chunks", S.dedup_chunk_occurrences(chunk_rows))
+    # chunk dedup stays LAZY: the window runs inside its single heavy consumer
+    # (the mentions stage) instead of paying a separate 2M-row materialization
+    # + barrier; resume recomputes it from the committed chunk_rows snapshot
+    chunks = S.dedup_chunk_occurrences(chunk_rows)
     # fusion's neighborhood join needs only (chunk_id, position) per occurrence
     occurrences = chunk_rows.select("chunk_id", "doc_id", "chunk_order_index")
+    # media path prunes at the DOCUMENT level with native array ops
+    # (GetArrayStructFields + array_except — codegen, no interpreted lambda):
+    # one derivation pass over the corpus finds media-carrying docs, and only
+    # THEIR spans are exploded for the context window + J2 join.
+    has_media = (
+        F.size(
+            F.array_except(F.col("spans").getField("kind"), F.array(F.lit("text")))
+        )
+        > 0
+    )
+    media_spans_src = S.explode_spans(documents.filter(has_media))
     # J2 must join against per-doc chunk OCCURRENCES, not deduped chunks: a
     # chunk shared across docs is attributed to its first doc after dedup, and
     # joining media on doc_id against that loses the candidate for every other
     # doc (surfaced at sf0.1 where derived grammar repeats past 3150 docs)
+    # context rows are few (one per media span) — materialize them (light)
+    # BEFORE the J2 join, whose broadcast id-set would otherwise re-derive
+    # the whole context pipeline a second time
+    media_ctx = cp.stage_light(
+        "media_ctx", S.media_spans_with_context(media_spans_src, prefiltered=True)
+    )
     media = cp.stage(
-        "media_spans",
-        S.associate_media_to_chunks(S.media_spans_with_context(spans), chunk_rows),
+        "media_spans", S.associate_media_to_chunks(media_ctx, chunk_rows)
     )
 
     mentions = cp.stage(
         "mentions", X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
     )
-    # record parsing is cheap JVM expression work over the committed mentions
-    # snapshot — re-deriving it per consumer beats two more stage commits
-    ents_m, rels_m = X.parse_mentions(mentions)
+    # parse the record grammar ONCE: three consumers (edge merge, entity
+    # merge, fusion's occurrence join) each re-ran the regex explode over the
+    # whole mentions snapshot — at 100 TB that is re-parsing the corpus three
+    # times. One slim union row-set, materialized light (plan cut, block
+    # manager), refiltered per consumer with column pruning.
+    ents_m0, rels_m0 = X.parse_mentions(mentions)
+    mention_rows = cp.stage_light(
+        "mention_rows",
+        ents_m0.select(
+            F.lit("e").alias("role"),
+            F.col("entity_name").alias("a"),
+            F.col("entity_type").alias("b"),
+            "description",
+            F.lit(None).cast("double").alias("weight"),
+            "source_id",
+        ).unionByName(
+            rels_m0.select(
+                F.lit("r").alias("role"),
+                F.col("src").alias("a"),
+                F.col("tgt").alias("b"),
+                "description",
+                "weight",
+                "source_id",
+            )
+        ),
+    )
+    ents_m = mention_rows.filter(F.col("role") == "e").select(
+        F.col("a").alias("entity_name"),
+        F.col("b").alias("entity_type"),
+        "description",
+        "source_id",
+    )
+    rels_m = mention_rows.filter(F.col("role") == "r").select(
+        F.col("a").alias("src"),
+        F.col("b").alias("tgt"),
+        "description",
+        "weight",
+        "source_id",
+    )
 
+    # L3: optional MLLM describer replaces the default segmentation=True flag
+    # and supplies the ORI_IMG description; its flag gates object detection
+    if describer is not None:
+        media = cp.stage_light("media_described", SC.describe_media(media, describer))
     objects = SC.detect_scene_objects(media, backend=scene_backend)
     img_ents_m, img_rels_m = SC.scene_graph(media, objects)
     img_ents_m = cp.stage("image_entity_mentions", img_ents_m)
@@ -212,7 +272,9 @@ def build_aliases(
     clustered = cp.stage(
         "fusion_clusters", FU.spectral_cluster_blocks(members, block_edges)
     )
-    pairs = cp.stage(
+    # alias pairs/maps are a few rows — light commits (plan cut only); a
+    # durable parquet round-trip per tiny stage is pure fixed overhead
+    pairs = cp.stage_light(
         "alias_pairs",
         FU.judge_alignment(
             clustered,
@@ -220,4 +282,4 @@ def build_aliases(
             descriptions=entities.select("entity_name", "description"),
         ),
     )
-    return cp.stage("aliases", FU.alias_map(pairs, entities))
+    return cp.stage_light("aliases", FU.alias_map(pairs, entities))

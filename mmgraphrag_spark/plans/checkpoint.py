@@ -41,6 +41,9 @@ class LocalCheckpointer:
         self.stages[name] = {"seconds": round(time.monotonic() - t0, 3)}
         return out
 
+    # tiny stages need only the plan cut, never durability
+    stage_light = stage
+
 
 class _HadoopFS:
     """Tiny marker-file IO shim over the Hadoop FileSystem API.
@@ -126,24 +129,65 @@ class ParquetCheckpointer:
             return self.load(name)
         path = os.path.join(self._dir(name), "data")
         t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(path)
+        # A4 run counters, Spark-idiomatic: an Observation piggybacks on the
+        # write action (no extra job) and lands in the commit marker — the
+        # engine's analogue of the reference's already_processed progress
+        # counters (text2graph.py nonlocal counters).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"stage_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        observed = obs.get
         out = self.spark.read.parquet(path)
-        # per-partition lineage: rows per file-partition of the committed snapshot
-        part_rows = [
-            (r["p"], r["n"])
-            for r in out.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
+        # per-partition lineage: rows per file of the committed snapshot,
+        # read straight from the parquet FOOTERS — zero Spark jobs, zero data
+        # scan (the old groupBy(spark_partition_id) re-scanned every snapshot,
+        # which at 2M docs re-read millions of rows per stage purely for the
+        # marker). Non-local roots fall back to the scan.
+        part_rows = self._footer_partition_rows(path)
+        if part_rows is None:
+            part_rows = [
+                (r["p"], r["n"])
+                for r in out.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
         marker = {
             "stage": name,
             "rows": sum(n for _, n in part_rows),
+            "observed_rows": observed.get("rows"),
             "partitions": sorted(part_rows),
             "wall_seconds": round(time.monotonic() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._fs.write_text_atomic(self._marker(name), json.dumps(marker))
         return out
+
+    def stage_light(self, name: str, df: DataFrame) -> DataFrame:
+        """Plan-cut-only commit for TINY stage outputs (alias pairs, alias
+        maps — a few rows): a parquet write+read-back+marker costs ~1 s of
+        pure fixed overhead per stage, which tiny outputs never repay. The
+        data stays on the block manager; crash-resume recomputes these rows
+        from the last durable stage (cheap by construction)."""
+        return df.localCheckpoint()
+
+    def _footer_partition_rows(self, path: str):
+        """[(file_index, num_rows)] from parquet footers, or None when the
+        root is not a local filesystem path (pyarrow would need a remote FS
+        adapter there; callers fall back to a Spark scan)."""
+        if "://" in self.root and not self.root.startswith("file:"):
+            return None
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        if not files:
+            return None
+        return [(i, pq.ParquetFile(f).metadata.num_rows) for i, f in enumerate(files)]
 
     def manifest(self) -> list[dict]:
         out = []

@@ -44,6 +44,12 @@ def export_graphml(
             f"graph too large for single-file GraphML export (> {max_rows} "
             "nodes); use the parquet/Iceberg tables instead"
         )
+    ne = edges.limit(max_rows + 1).count()
+    if ne > max_rows:
+        raise ValueError(
+            f"graph too large for single-file GraphML export (> {max_rows} "
+            "edges); use the parquet/Iceberg tables instead"
+        )
     node_rows = (
         entities.select(
             "entity_name", "entity_type", "description",

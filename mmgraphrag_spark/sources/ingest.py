@@ -222,6 +222,192 @@ def read_docx_dir(spark: SparkSession, path: str, glob: str = "*.docx") -> DataF
     return _collect_documents(flat)
 
 
+# ---------------------------------------------------------------------------
+# S2: PDF front-end (stdlib mini-parser — zlib Flate + text operators)
+# ---------------------------------------------------------------------------
+
+def _pdf_objects(blob: bytes) -> dict:
+    import re
+
+    return {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(rb"(\d+)\s+0\s+obj(.*?)endobj", blob, re.DOTALL)
+    }
+
+
+def _pdf_stream(body: bytes):
+    import re
+    import zlib
+
+    m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.DOTALL)
+    if m is None:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in body:
+        try:
+            data = zlib.decompress(data)
+        except Exception:
+            return None
+    return data
+
+
+def _pdf_literal(s: bytes) -> str:
+    out, i = [], 0
+    esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"(": "(", b")": ")", b"\\": "\\"}
+    while i < len(s):
+        c = s[i : i + 1]
+        if c == b"\\" and i + 1 < len(s):
+            nxt = s[i + 1 : i + 2]
+            out.append(esc.get(nxt, nxt.decode("latin-1")))
+            i += 2
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+def _pdf_page_text(content: bytes) -> str:
+    """Text-showing operators (Tj and TJ arrays) -> page text. Covers the
+    literal-string subset that simple generators emit; CID/hex-encoded fonts
+    need the PyMuPDF front-end."""
+    import re
+
+    lit = rb"\(((?:\\.|[^\\()])*)\)"
+    parts = []
+    for m in re.finditer(lit + rb"\s*Tj", content, re.DOTALL):
+        parts.append(_pdf_literal(m.group(1)))
+    for m in re.finditer(rb"\[(.*?)\]\s*TJ", content, re.DOTALL):
+        parts.extend(_pdf_literal(x.group(1)) for x in re.finditer(lit, m.group(1)))
+    return " ".join(p.strip() for p in parts if p.strip())
+
+
+def _parse_pdf_bytes(name: str, blob: bytes):
+    """One simple PDF -> (full_text, rows, media) where rows are
+    (pord, sord, kind, text, media_ref) and media is
+    [(media_ref, mime, bytes)]. Page order follows the /Pages /Kids array
+    (reference walks doc.pages, pdf_preprocessing.py:314-400); per page: one
+    text span, then the page's /XObject images in dictionary order."""
+    import re
+
+    objs = _pdf_objects(blob)
+    # page order: /Kids of the page-tree node; fallback = object-id order
+    page_ids = []
+    for body in objs.values():
+        if b"/Kids" in body and b"/Page" in body:
+            m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
+            if m:
+                page_ids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+                break
+    if not page_ids:
+        page_ids = sorted(
+            oid
+            for oid, body in objs.items()
+            if re.search(rb"/Type\s*/Page\b", body) and b"/Kids" not in body
+        )
+    rows, texts, media = [], [], []
+    for pord, pid in enumerate(page_ids):
+        body = objs.get(pid, b"")
+        text = ""
+        mc = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
+        if mc and int(mc.group(1)) in objs:
+            content = _pdf_stream(objs[int(mc.group(1))])
+            if content:
+                text = _pdf_page_text(content)
+        texts.append(text)
+        sord = 0
+        if text.strip():
+            rows.append((pord, sord, "text", text.strip(), ""))
+            sord += 1
+        for mx in re.finditer(rb"/XObject\s*<<(.*?)>>", body, re.DOTALL):
+            for ref in re.finditer(rb"/\w+\s+(\d+)\s+0\s+R", mx.group(1)):
+                xid = int(ref.group(1))
+                xbody = objs.get(xid, b"")
+                if not re.search(rb"/Subtype\s*/Image\b", xbody):
+                    continue
+                media_ref = f"pdf://{name}/obj{xid}"
+                mime = (
+                    "image/jpeg" if b"/DCTDecode" in xbody
+                    else "application/octet-stream"
+                )
+                data = _pdf_stream(xbody) or b""
+                rows.append((pord, sord, "image", "", media_ref))
+                media.append((media_ref, mime, data))
+                sord += 1
+    return "\n".join(texts), rows, media
+
+
+def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Directory of simple PDFs -> documents(doc_id, spans).
+
+    Stdlib-only mini-parser (zlib FlateDecode + literal-string text
+    operators): real text/image extraction for straightforward generators.
+    Complex PDFs (CID fonts, object streams, encryption) need the PyMuPDF
+    front-end the reference uses (pdf_preprocessing.py:314-400) — it emits
+    the same span shape, so it plugs in at this seam. doc_id = "doc-" +
+    md5(full text), as in the other front-ends."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches):
+        import hashlib
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "pord", "sord", "kind", "text", "media_ref")}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(fpath)
+                full_text, rows, _ = _parse_pdf_bytes(name, bytes(blob))
+                did = "doc-" + hashlib.md5(full_text.encode("utf-8")).hexdigest()
+                for pord, sord, kind, text, ref in rows:
+                    out["doc_id"].append(did)
+                    out["pord"].append(pord)
+                    out["sord"].append(sord)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(ref)
+            yield pd.DataFrame(out)
+
+    flat = raw.mapInPandas(
+        run,
+        "doc_id string, pord int, sord int, kind string, text string, media_ref string",
+    )
+    return _collect_documents(flat)
+
+
+def read_pdf_media(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Directory of simple PDFs -> (media_ref, mime, content) binary table;
+    DCTDecode streams are raw JPEG bytes. Refs match read_pdf_dir's spans."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches):
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            refs, mimes, blobs = [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                _, _, media = _parse_pdf_bytes(os.path.basename(fpath), bytes(blob))
+                for ref, mime, data in media:
+                    refs.append(ref)
+                    mimes.append(mime)
+                    blobs.append(data)
+            yield pd.DataFrame({"media_ref": refs, "mime": mimes, "content": blobs})
+
+    return raw.mapInPandas(run, "media_ref string, mime string, content binary")
+
+
 def read_docx_media(spark: SparkSession, path: str, glob: str = "*.docx") -> DataFrame:
     """Directory of .docx files -> (media_ref, mime, content) binary table —
     the S7 media-bytes side of the DOCX walk (the reference extracts blobs via

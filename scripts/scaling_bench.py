@@ -24,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 from mmgraphrag_spark.session import build_session
 from bench import run_kg_pipeline
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-spark = build_session("scaling", cpus=cpus, shuffle_partitions=cpus)
+spark = build_session("scaling", cpus=cpus, shuffle_partitions=3 * cpus)
 # warmup: spawn+import python workers, JIT the codegen paths — cold-start
 # penalizes wider configs (N workers x imports) and is not what the scaling
 # criterion measures

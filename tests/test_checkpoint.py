@@ -28,7 +28,10 @@ def test_parquet_checkpoint_commit_and_resume(spark, documents_df, tmp_path):
     t1 = _triples_set(out1)
     manifest = cp1.manifest()
     names = {m["stage"] for m in manifest}
-    assert {"chunks", "mentions", "entities", "edges", "aliases"} <= names
+    # tiny alias stages are light commits and chunk dedup is lazy (runs
+    # inside the mentions stage) — neither is in the durable manifest
+    assert {"chunk_rows", "mentions", "entities", "edges"} <= names
+    assert not {"aliases", "alias_pairs", "chunks"} & names
     # lineage counters: per-partition rows sum to the stage rowcount
     for m in manifest:
         assert m["rows"] == sum(n for _, n in m["partitions"])

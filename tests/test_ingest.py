@@ -147,3 +147,60 @@ def test_docx_feeds_pipeline(spark, tmp_path):
     out = run_pipeline(spark, docs)
     assert out["chunks"].count() >= 1
     assert out["media_spans"].count() == 2  # both blips associated to chunks
+
+
+# -- PDF front-end (S2) -------------------------------------------------------
+
+def _write_pdf(path):
+    """Handcrafted minimal PDF: 2 pages in /Kids order, literal-string Tj and
+    TJ-array text, one DCTDecode image XObject on page 1."""
+    jpg = b"\xff\xd8\xfffakejpg"
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Im1 7 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length 48 >> stream\n"
+        b"BT /F1 12 Tf (First page about ENTITY_1.) Tj ET\nendstream endobj\n",
+        b"5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n",
+        b"6 0 obj << /Length 40 >> stream\n"
+        b"BT [(Second) -250 (page text.)] TJ ET\nendstream endobj\n",
+        b"7 0 obj << /Subtype /Image /Filter /DCTDecode /Width 1 /Height 1 "
+        b"/Length 10 >> stream\n" + jpg + b"\nendstream endobj\n",
+        b"%%EOF\n",
+    ]
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+    return jpg
+
+
+def test_read_pdf_dir_interleaved_spans(spark, tmp_path):
+    from mmgraphrag_spark.sources.ingest import read_pdf_dir
+
+    d = tmp_path / "pdfs"
+    os.makedirs(d)
+    _write_pdf(str(d / "paper.pdf"))
+    docs = read_pdf_dir(spark, str(d)).collect()
+    assert len(docs) == 1
+    spans = docs[0].spans
+    seq = [(s.kind, s.text, s.media_ref) for s in spans]
+    assert seq == [
+        ("text", "First page about ENTITY_1.", ""),
+        ("image", "", "pdf://paper.pdf/obj7"),
+        ("text", "Second page text.", ""),
+    ]
+    assert [s.offset for s in spans] == [0, 1, 2]
+
+
+def test_read_pdf_media_extracts_jpeg(spark, tmp_path):
+    from mmgraphrag_spark.sources.ingest import read_pdf_media
+
+    d = tmp_path / "pdfs"
+    os.makedirs(d)
+    jpg = _write_pdf(str(d / "paper.pdf"))
+    rows = read_pdf_media(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0].media_ref == "pdf://paper.pdf/obj7"
+    assert rows[0].mime == "image/jpeg"
+    assert bytes(rows[0].content) == jpg

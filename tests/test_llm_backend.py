@@ -98,3 +98,85 @@ def test_gleaning_zero_rounds():
     client, t = make_client(["r1"])
     assert LLMExtractor(client, max_gleaning=0)._extract_one("txt") == "r1"
     assert t.n == 1
+
+
+# -- P16 JSON salvage ---------------------------------------------------------
+
+def test_salvage_json():
+    from mmgraphrag_spark.backends.llm import salvage_json
+
+    assert salvage_json('noise {"a": 1, "b": [2]} trailing') == {"a": 1, "b": [2]}
+    assert salvage_json("no json here") is None
+    assert salvage_json('{"broken": ') is None
+    assert salvage_json("") is None
+
+
+def test_salvage_json_list():
+    from mmgraphrag_spark.backends.llm import salvage_json_list
+
+    assert salvage_json_list('reply: [{"x": 1}, {"y": 2}] done') == [{"x": 1}, {"y": 2}]
+    # truncation comma stripped
+    assert salvage_json_list('[{"x": 1}, ]') == [{"x": 1}]
+    # item-by-item fallback recovers the complete prefix of a truncated list
+    assert salvage_json_list('[{"x": 1}, {"y": 2}, {"z":') == [{"x": 1}, {"y": 2}]
+    assert salvage_json_list("nothing") == []
+
+
+# -- L3 MLLM describer --------------------------------------------------------
+
+def test_mllm_describer_parses_fields():
+    from mmgraphrag_spark.backends.llm import ChatClient, MllmDescriber, ScriptedTransport
+
+    reply = '{"description": "two cats on a mat", "segmentation": true}'
+    client = ChatClient("http://fake", transport=ScriptedTransport([reply]))
+    d, s = MllmDescriber(client).describe("cats", "context text")
+    assert d == "two cats on a mat" and s is True
+
+    client2 = ChatClient("http://fake", transport=ScriptedTransport(["garbled reply"]))
+    d2, s2 = MllmDescriber(client2).describe("x", "y")
+    assert d2 == "No description." and s2 is False
+
+
+# -- L12/L13 LLM answerer -----------------------------------------------------
+
+def test_llm_answerer_merge_sequence():
+    """Reference two-step merge: per-image answers merged first, then merged
+    with the text answer; single answer short-circuits with no calls."""
+    from mmgraphrag_spark.backends import prompts
+    from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer, ScriptedTransport
+
+    t = ScriptedTransport(["mm merged", "final"])
+    a = LLMAnswerer(ChatClient("http://fake", transport=t))
+    out = a.merge("q?", ["text ans", "img1 ans", "img2 ans"])
+    assert out == "final"
+    assert t.n == 2
+    first, second = t.calls[0][-1]["content"], t.calls[1][-1]["content"]
+    assert "img1 ans" in first and "img2 ans" in first and "text ans" not in first
+    assert "mm merged" in second and "text ans" in second
+
+    t2 = ScriptedTransport(["never"])
+    a2 = LLMAnswerer(ChatClient("http://fake", transport=t2))
+    assert a2.merge("q?", ["only"]) == "only"
+    assert t2.n == 0
+
+
+def test_llm_cache_namespace(spark):
+    """J17 + separate multimodal cache namespace (img2graph.py:603-608): a
+    cache row in another namespace must not satisfy this probe."""
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.functions import args_hash
+    from mmgraphrag_spark.operators.extract import extract_mentions
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "ENTITY_1 is a PERSON associated with topic_0.")],
+        ["chunk_id", "doc_id", "content"],
+    )
+    h = chunks.select(args_hash(F.col("content")).alias("h")).first().h
+    cache = spark.createDataFrame(
+        [(h, "cached-records", "mm")], ["args_hash", "payload", "namespace"]
+    )
+    out = extract_mentions(chunks, llm_cache=cache, cache_namespace="text").first()
+    assert out.records != "cached-records"  # mm hit doesn't serve text
+    out2 = extract_mentions(chunks, llm_cache=cache, cache_namespace="mm").first()
+    assert out2.records == "cached-records"

@@ -53,3 +53,52 @@ def test_containment_edges_weight_10(spark):
     assert all(r.weight == 10.0 for r in rows)
     assert all(r.src <= r.tgt for r in rows)
     assert all(r.source_id == "img://d1/0" for r in rows)
+
+
+def test_describe_media_gates_segmentation(spark):
+    """L3: the describer's segmentation flag replaces the default and gates
+    object detection; ORI_IMG takes the MLLM description."""
+    from mmgraphrag_spark.backends.llm import ChatClient, MllmDescriber, ScriptedTransport
+    from mmgraphrag_spark.operators.scene import (
+        describe_media,
+        detect_scene_objects,
+        scene_graph,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("img://a/0", "d1", "Figure: ENTITY_1.", "ctx", 1, "chunk-x", True),
+            ("img://b/0", "d2", "Figure: ENTITY_2.", "ctx", 1, "chunk-y", True),
+        ],
+        ["media_ref", "doc_id", "caption", "context", "chunk_order_index",
+         "chunk_id", "segmentation"],
+    )
+    # scripted: first image multi-object (segmentation true), second not.
+    # NOTE: rows may arrive in either order across partitions, so key the
+    # reply off nothing — instead run two describers, one per row, via a
+    # content-sensitive transport.
+    class EchoTransport:
+        def __call__(self, url, headers, payload):
+            import json as _json
+
+            msg = payload["messages"][-1]["content"]
+            seg = "true" if "ENTITY_1" in msg else "false"
+            return _json.dumps({"choices": [{"message": {"content":
+                '{"description": "desc of %s", "segmentation": %s}'
+                % ("one" if seg == "true" else "two", seg)}}]})
+
+    client = ChatClient("http://fake", transport=EchoTransport())
+    described = describe_media(media, MllmDescriber(client))
+    rows = {r.media_ref: (r.segmentation, r.mllm_description) for r in described.collect()}
+    assert rows["img://a/0"] == (True, "desc of one")
+    assert rows["img://b/0"] == (False, "desc of two")
+
+    objects = detect_scene_objects(described)
+    # only the segmentation=true image produced objects
+    assert {r.media_ref for r in objects.collect()} == {"img://a/0"}
+
+    ents, _ = scene_graph(described, objects)
+    ori = {r.entity_name: r.description for r in ents.collect()
+           if r.entity_name.startswith('"IMG_img')}
+    assert ori['"IMG_img://a/0"'] == "desc of one"
+    assert ori['"IMG_img://b/0"'] == "desc of two"
