@@ -264,7 +264,13 @@ def _q_simhash_pairs(spark, sf_dir):
     Hamming filter — which is the (exact) SQL oracle."""
     from mmgraphrag_spark.operators.dedup import simhash, simhash_near_dups
 
-    sims = simhash(_flat(spark, sf_dir), "doc_id", "text", bits=32)
+    # doc_id < 300: the synthetic corpus is near-dup-heavy (>15% of ALL pairs
+    # land within Hamming 3), so an unbounded pair set grows quadratically
+    # with sf — the bounded slice keeps the oracle comparison exact and the
+    # bench runtime sf-independent
+    sims = simhash(
+        _flat(spark, sf_dir).filter(F.col("doc_id") < 300), "doc_id", "text", bits=32
+    )
     return simhash_near_dups(sims, max_hamming=3, bits=32).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
@@ -777,7 +783,10 @@ sh AS (
 
     # exact: the pigeonhole chunk-bucket candidate pass is complete for
     # Hamming <= 3, so the operator's output equals this all-pairs filter
-    sql["simhash_pairs"] = _simhash_cte + """
+    # (bounded to doc_id < 300, matching the Spark query)
+    sql["simhash_pairs"] = _simhash_cte.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 300"
+    ) + """
 SELECT x.id AS a, y.id AS b,
        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sh x JOIN sh y ON x.id < y.id
