@@ -39,14 +39,21 @@ def chunk_occurrences(
     spans: DataFrame,
     max_tokens: int = 1200,
     overlap: int = 100,
+    tokenizer=None,
 ) -> DataFrame:
     """Pre-dedup chunk rows: one row per (chunk occurrence in a doc).
 
     Needed by the fusion neighborhood join: a deduplicated chunk (same content
     in many docs) still occurs at a (doc_id, chunk_order_index) per doc, and
     "nearby entities" are defined per occurrence (fusion.py:156-202).
+
+    ``tokenizer=None`` (default) takes the pure-JVM whitespace-token window;
+    a backends.tokenizer backend (tiktoken in production, P9) routes through
+    the reference-exact encode/window/decode python path instead.
     """
-    return _chunk_rows(spans, max_tokens, overlap)
+    if tokenizer is None:
+        return _chunk_rows(spans, max_tokens, overlap)
+    return _chunk_rows_tokenized(spans, tokenizer, max_tokens, overlap)
 
 def chunk_text_spans(
     spans: DataFrame,
@@ -189,6 +196,17 @@ def chunk_text_spans_tokenized(
     and trimming stay JVM-side; only encode/window/decode crosses into Python
     (Arrow batches, partitions pinned before the UDF stage so AQE cannot
     coalesce it down to one task)."""
+    return dedup_chunk_occurrences(
+        _chunk_rows_tokenized(spans, tokenizer, max_tokens, overlap)
+    )
+
+
+def _chunk_rows_tokenized(
+    spans: DataFrame,
+    tokenizer,
+    max_tokens: int = 1200,
+    overlap: int = 100,
+) -> DataFrame:
     import pandas as pd
 
     step = max_tokens - overlap
@@ -228,14 +246,13 @@ def chunk_text_spans_tokenized(
     out = cleaned.repartition(n_parts, "doc_id").mapInPandas(
         run, "doc_id string, offset long, content string, tokens int"
     )
-    rows = out.select(
+    return out.select(
         mdhash_id(F.col("content"), "chunk-").alias("chunk_id"),
         "doc_id",
         "content",
         "tokens",
         F.col("offset").alias("chunk_order_index"),
     )
-    return dedup_chunk_occurrences(rows)
 
 
 def filter_new_keys(batch: DataFrame, existing: DataFrame, key: str) -> DataFrame:

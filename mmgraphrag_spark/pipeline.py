@@ -40,6 +40,7 @@ def run_pipeline(
     judge_backend=None,
     summarizer=None,
     describer=None,
+    tokenizer=None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
@@ -64,7 +65,9 @@ def run_pipeline(
     spans = S.explode_spans(documents)
     # ONE chunking pass, committed with content; everything downstream derives
     # from this snapshot (dedup window, slim fusion occurrences, J2 candidates)
-    chunk_rows = cp.stage("chunk_rows", S.chunk_occurrences(spans))
+    chunk_rows = cp.stage(
+        "chunk_rows", S.chunk_occurrences(spans, tokenizer=tokenizer)
+    )
     # chunk dedup stays LAZY: the window runs inside its single heavy consumer
     # (the mentions stage) instead of paying a separate 2M-row materialization
     # + barrier; resume recomputes it from the committed chunk_rows snapshot

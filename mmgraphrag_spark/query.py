@@ -47,26 +47,31 @@ def hash_embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
     return (v / n if n > 0 else v).tolist()
 
 
-def _embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        yield pd.DataFrame(
-            {
-                "entity_name": pdf["entity_name"],
-                "vec": [hash_embed_text(t) for t in pdf["text"]],
-            }
-        )
-
-
-def build_entity_vdb(entities: DataFrame) -> DataFrame:
+def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
     """Entity VDB rows (reference create_EntityVDB, fusion.py:100-153):
-    embed entity_name + description; returns (entity_name, vec)."""
+    embed entity_name + description; returns (entity_name, vec).
+
+    ``backend`` implements ``embed(texts) -> list[vec]`` (see
+    backends/embeddings.py: HashEmbedBackend offline default,
+    SentenceTransformerBackend in production — gated on the library)."""
+    from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
+
+    backend = backend or HashEmbedBackend()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "entity_name": pdf["entity_name"],
+                    "vec": backend.embed(list(pdf["text"])),
+                }
+            )
+
     src = entities.select(
         "entity_name",
         F.concat_ws(" ", "entity_name", "description").alias("text"),
     )
-    return src.mapInPandas(
-        _embed_batches, f"entity_name string, vec array<double>"
-    )
+    return src.mapInPandas(run, "entity_name string, vec array<double>")
 
 
 # ---------------------------------------------------------------------------
@@ -271,14 +276,20 @@ def local_query(
     answerer=None,
     vdb: DataFrame | None = None,
     log_dir: str | None = None,
+    embed_backend=None,
 ) -> dict:
     """End-to-end local query over a run_pipeline() output dict.
 
-    Returns {"seeds", "text_units", "edges", "context", "answer"}."""
+    ``embed_backend`` (backends/embeddings.py) embeds BOTH the VDB and the
+    question — they must share a space for the cosine ranking to mean
+    anything. Returns {"seeds", "text_units", "edges", "context", "answer"}."""
+    from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
+
     entities, edges, chunks = kg["entities"], kg["edges"], kg["chunks"]
+    embed_backend = embed_backend or HashEmbedBackend()
     if vdb is None:
-        vdb = build_entity_vdb(entities).localCheckpoint()
-    qv = hash_embed_text(question)
+        vdb = build_entity_vdb(entities, backend=embed_backend).localCheckpoint()
+    qv = embed_backend.embed([question])[0]
     ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold).localCheckpoint()
     seeds = seed_entities(entities, edges, ann).localCheckpoint()
     text_units = related_text_units(seeds, entities, edges, chunks)

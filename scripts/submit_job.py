@@ -44,6 +44,19 @@ def main() -> None:
     p.add_argument("--derive-interleaved", action="store_true",
                    help="input is a flat (doc_id, text) corpus; derive the "
                         "interleaved spans table deterministically")
+    # LLM wiring (all optional; deterministic backends when unset). One
+    # OpenAI-compatible endpoint serves extraction/judge/summarize; the
+    # ingest front-ends (read_docx_dir / read_pdf_dir / read_markdown_dir)
+    # feed --input upstream of this job.
+    p.add_argument("--llm-base-url", default=None,
+                   help="OpenAI-compatible endpoint; enables LLMExtractor, "
+                        "LLMJudge and LLMSummarizer")
+    p.add_argument("--llm-api-key", default=os.environ.get("OPENAI_API_KEY", ""))
+    p.add_argument("--llm-model", default="gpt-4o-mini")
+    p.add_argument("--max-gleaning", type=int, default=1)
+    p.add_argument("--tokenizer", default="auto", choices=["auto", "regex"],
+                   help="'auto' uses tiktoken when installed (P9), else the "
+                        "regex fallback")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,13 +79,46 @@ def main() -> None:
 
         docs = interleave_from_flat(docs)
 
+    extractor = judge = summarizer = None
+    if args.llm_base_url:
+        from mmgraphrag_spark.backends.llm import (
+            ChatClient,
+            LLMExtractor,
+            LLMJudge,
+            LLMSummarizer,
+        )
+
+        client = ChatClient(
+            args.llm_base_url, api_key=args.llm_api_key, model=args.llm_model
+        )
+        extractor = LLMExtractor(client, max_gleaning=args.max_gleaning)
+        judge = LLMJudge(client)
+        summarizer = LLMSummarizer(client)
+
+    tokenizer = None
+    if args.tokenizer == "auto":
+        try:
+            from mmgraphrag_spark.backends.tokenizer import TiktokenBackend
+
+            tokenizer = TiktokenBackend()
+        except ImportError:
+            tokenizer = None  # whitespace JVM path
+    elif args.tokenizer == "regex":
+        from mmgraphrag_spark.backends.tokenizer import RegexTokenizerBackend
+
+        tokenizer = RegexTokenizerBackend()
+
     out = run_pipeline(
         spark,
         docs,
+        extractor=extractor,
         doc_partitions=args.doc_partitions,
         max_block=args.max_block,
         blocking=args.blocking,
         checkpointer=ParquetCheckpointer(spark, args.checkpoint),
+        judge_backend=judge,
+        summarizer=summarizer,
+        tokenizer=tokenizer,
     )
     for name in ("entities", "edges", "triples"):
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))

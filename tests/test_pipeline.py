@@ -90,3 +90,16 @@ def test_media_spans_have_chunks(pipeline_out):
     media = pipeline_out["media_spans"].collect()
     assert len(media) > 0
     assert all(m.chunk_id is not None for m in media)
+
+
+def test_pipeline_with_tokenizer_backend(spark, corpus, documents_df, pipeline_out):
+    """P9 end-to-end: swapping the chunker to the tokenizer-backend path
+    changes chunk boundaries/ids but must preserve the extracted triples on a
+    corpus whose documents each fit one window."""
+    from mmgraphrag_spark.backends.tokenizer import RegexTokenizerBackend
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    out = run_pipeline(spark, documents_df, tokenizer=RegexTokenizerBackend())
+    got = {(r.subj, r.obj, r.weight) for r in out["triples"].collect()}
+    exp = {(r.subj, r.obj, r.weight) for r in pipeline_out["triples"].collect()}
+    assert got == exp

@@ -52,3 +52,36 @@ def test_related_text_units_budget(spark, pipeline_out):
     # budget respected: total tokens of kept chunks <= 50
     total = sum(len(r.content.split()) for r in rows)
     assert total <= 50
+
+
+def test_embed_backend_seam(spark):
+    """M1 seam: a custom backend drives both the VDB and the query vector;
+    the gated SentenceTransformer backend raises cleanly when absent."""
+    import pytest as _pytest
+
+    from mmgraphrag_spark.backends import embeddings as E
+
+    class TwoHotBackend:
+        def embed(self, texts):
+            return [[1.0, 0.0] if "ENTITY_A" in t else [0.0, 1.0] for t in texts]
+
+    ents = spark.createDataFrame(
+        [('"ENTITY_A"', "T", "about a", ["c1"]), ('"ENTITY_B"', "T", "about b", ["c2"])],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    from mmgraphrag_spark.query import ann_entities, build_entity_vdb
+
+    vdb = build_entity_vdb(ents, backend=TwoHotBackend())
+    got = ann_entities(vdb, [1.0, 0.0], top_k=1).collect()
+    assert got[0].entity_name == '"ENTITY_A"'
+
+    try:
+        import sentence_transformers  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with _pytest.raises(ImportError):
+            E.SentenceTransformerBackend()
+        assert isinstance(E.default_embed_backend(), E.HashEmbedBackend)
