@@ -407,6 +407,82 @@ def _q_w4_ranking(spark, sf_dir):
     )
 
 
+def _q_j11_one_hop(spark, sf_dir):
+    """J11: union of both edge directions from a seed set (query.py:89-108),
+    over the events-derived edge graph."""
+    from mmgraphrag_spark.query import one_hop_neighbors
+
+    ev = _events(spark, sf_dir)
+    edges = (
+        ev.select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("u"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+        )
+        .filter(F.col("src") != F.col("tgt"))
+        .distinct()
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select(F.concat(F.lit("u"), F.col("user_id")).alias("entity_name"))
+        .distinct()
+    )
+    return one_hop_neighbors(edges, seeds).select("seed", "neighbor")
+
+
+def _q_j10_rehydrate(spark, sf_dir):
+    """J10: rehydrate a ranked hit list with node attrs + degree
+    (query.py:239-253) — ann rows synthesized deterministically from events
+    so the join/degree/fillna path has an exact oracle."""
+    from mmgraphrag_spark.query import seed_entities
+
+    ev = _events(spark, sf_dir)
+    edges = (
+        ev.select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("u"), (F.col("user_id") * 3 + 1) % 25).alias("tgt"),
+        )
+        .filter(F.col("src") != F.col("tgt"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    entities = ev.groupBy(
+        F.concat(F.lit("u"), F.col("user_id")).alias("entity_name")
+    ).agg(
+        F.lit("USER").alias("entity_type"),
+        F.concat(F.lit("user with "), F.count(F.lit(1)), F.lit(" events")).alias(
+            "description"
+        ),
+        F.array_sort(
+            F.collect_set(F.concat(F.lit("chunk-"), F.col("event_id") % 50))
+        ).alias("source_ids"),
+    )
+    from pyspark.sql import Window
+
+    ann = (
+        ev.filter(F.col("user_id") % 9 == 0)
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("uid")).alias("entity_name"),
+            (F.col("uid") % 100 / 100.0).alias("sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("sim"), F.asc("entity_name"))
+            ),
+        )
+    )
+    out = seed_entities(entities, edges, ann)
+    return out.select(
+        "entity_name", "entity_type", "description",
+        F.concat_ws("<SEP>", "source_ids").alias("source_ids"),
+        F.round("sim", 6).alias("sim"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+
+
 def _q_w5_edge_ranking(spark, sf_dir):
     """W5 + A10: seed edges ranked by (endpoint-degree sum, weight) desc,
     kept while the running description-token sum fits the budget — the
@@ -563,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_token_budget": _q_a10_token_budget,
         "w4_ranking": _q_w4_ranking,
         "w5_edge_ranking": _q_w5_edge_ranking,
+        "j11_one_hop": _q_j11_one_hop,
+        "j10_rehydrate": _q_j10_rehydrate,
         "w2_neighbor_window": _q_w2_neighbor_window,
         "u6_lcc": _q_u6_lcc,
         "a3_summarize": _q_a3_summarize,
@@ -1125,6 +1203,51 @@ r AS (
 )
 SELECT src, tgt, description, weight, CAST(edge_rank AS BIGINT) AS edge_rank
 FROM r WHERE cum <= 30
+"""
+
+    sql["j11_one_hop"] = """
+WITH e AS (
+  SELECT DISTINCT 'u' || user_id AS src, 'u' || ((user_id * 3 + 1) % 25) AS tgt
+  FROM events WHERE user_id <> (user_id * 3 + 1) % 25
+),
+s AS (SELECT DISTINCT 'u' || user_id AS entity_name FROM events WHERE user_id % 7 = 0)
+SELECT src AS seed, tgt AS neighbor FROM e JOIN s ON e.src = s.entity_name
+UNION
+SELECT tgt AS seed, src AS neighbor FROM e JOIN s ON e.tgt = s.entity_name
+"""
+
+    sql["j10_rehydrate"] = """
+WITH e AS (
+  SELECT DISTINCT 'u' || user_id AS src, 'u' || ((user_id * 3 + 1) % 25) AS tgt
+  FROM events WHERE user_id <> (user_id * 3 + 1) % 25
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT src AS node FROM e UNION ALL SELECT tgt FROM e
+  ) GROUP BY 1
+),
+ent AS (
+  SELECT 'u' || user_id AS entity_name, 'USER' AS entity_type,
+         'user with ' || count(*) || ' events' AS description,
+         string_agg(DISTINCT 'chunk-' || (event_id % 50), '<SEP>'
+                    ORDER BY 'chunk-' || (event_id % 50)) AS source_ids
+  FROM events GROUP BY 1
+),
+ann AS (
+  SELECT entity_name, sim,
+         row_number() OVER (ORDER BY sim DESC, entity_name ASC) AS rnk
+  FROM (
+    SELECT DISTINCT 'u' || user_id AS entity_name,
+           (user_id % 100) / 100.0 AS sim
+    FROM events WHERE user_id % 9 = 0
+  )
+)
+SELECT a.entity_name, ent.entity_type, ent.description, ent.source_ids,
+       round(a.sim, 6) AS sim, CAST(a.rnk AS BIGINT) AS rnk,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+FROM ann a
+JOIN ent ON ent.entity_name = a.entity_name
+LEFT JOIN deg d ON d.node = a.entity_name
 """
 
     sql["w2_neighbor_window"] = """

@@ -111,13 +111,24 @@ def salvage_json(output: str):
 
 
 def salvage_json_list(output: str) -> list:
-    """P16: lenient JSON-list extraction (reference llm.py:161-190
-    normalize_to_json_list): unescape, grab the first [...] run, strip
-    truncation commas; on failure fall back to parsing the {...} items one by
-    one so a truncated reply still yields its complete prefix."""
+    """P16: JSON-list extraction. Strict pass first — VALID JSON (including
+    legitimately escaped quotes, e.g. '"\\"NAME\\""' entity names) parses
+    as-is; the reference's unescape step (llm.py:161-190) would corrupt it.
+    Then the reference's lenient path for sloppy output: unescape, grab the
+    first [...] run, strip truncation commas; finally parse the {...} items
+    one by one so a truncated reply still yields its complete prefix."""
     import re as _re
 
-    cleaned = (output or "").replace('\\"', '"').strip()
+    raw = (output or "").strip()
+    m = _re.search(r"\[.*\]", raw, _re.DOTALL)
+    if m:
+        try:
+            obj = json.loads(m.group(0))
+            if isinstance(obj, list):
+                return obj
+        except json.JSONDecodeError:
+            pass
+    cleaned = raw.replace('\\"', '"')
     m = _re.search(r"\[\s*(\{.*?\})*?\s*]", cleaned, _re.DOTALL)
     if m:
         s = _re.sub(r",\s*]", "]", m.group(0))
@@ -236,6 +247,29 @@ class LLMAnswerer:
               "content": prompts.FINAL_MERGE.format(
                   response=text_answer, mm_response=mm_merged, question=question)}]
         ).strip()
+
+
+class LLMEnhancer:
+    """L10: enhance UNALIGNED image entities (reference fusion.py:588-595
+    enhance_image_entities): one chat call per batch listing the entities;
+    the reply is salvaged as a JSON list (P16) and matched back BY POSITION —
+    a reply whose length differs from the request is discarded wholesale
+    (enhancement is best-effort; the entities keep their own names then,
+    which is also the offline default)."""
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def enhance(self, items: list[dict]) -> list[dict] | None:
+        if not items:
+            return []
+        listing = json.dumps(items, ensure_ascii=False, indent=0)
+        msg = prompts.ENHANCE_IMAGE_ENTITIES.format(entity_list=listing)
+        reply = self.client.complete([{"role": "user", "content": msg}])
+        out = salvage_json_list(reply)
+        if len(out) != len(items):
+            return None
+        return out
 
 
 class LLMSummarizer:

@@ -72,6 +72,15 @@ Image entity: {image_entity} — {image_description}
 Which single candidate denotes the same real-world thing as the image entity?
 Reply with exactly the candidate name, or "no match"."""
 
+# L10 — enhance unaligned image entities (prompt.py enhance_image_entity_*)
+ENHANCE_IMAGE_ENTITIES = """The following image-derived entities could not be
+aligned to any text entity. Rewrite each with a clearer canonical name and a
+fuller description, keeping the same order and count. Reply as a JSON list of
+{{"entity_name": ..., "entity_type": ..., "description": ...}} objects.
+
+Entities:
+{entity_list}"""
+
 # L11 — RAG answer (prompt.py:425-459)
 RAG_ANSWER = """Answer the question using only the context tables below.
 

@@ -477,6 +477,79 @@ def judge_alignment(
         run, "alias string, canonical string"
     )
 
+def enhance_unaligned(
+    entities: DataFrame,
+    aliases: DataFrame,
+    backend,
+    img_types: tuple = ('"ORI_IMG"', '"IMG_ENTITY"', '"IMG"'),
+) -> DataFrame:
+    """L10 (reference fusion.py:556-595): image entities that the judge did
+    NOT align get an LLM rewrite — clearer canonical name + fuller
+    description. ``backend.enhance(items)`` takes/returns a list of
+    {entity_name, entity_type, description} dicts matched by position (None =
+    discard the batch, keep originals — the offline default behavior is
+    simply not calling this operator).
+
+    Returns (entity_name, enhanced_name, enhanced_description) rows for the
+    entities the backend actually changed; the pipeline turns name changes
+    into alias pairs (so the existing CC + contraction machinery performs the
+    merge) and applies description updates before contraction."""
+    import re as _re
+
+    unaligned = (
+        entities.filter(F.col("entity_type").isin(*img_types))
+        .join(
+            aliases.select(F.col("alias").alias("entity_name")),
+            "entity_name",
+            "left_anti",
+        )
+        .select("entity_name", "entity_type", "description")
+    )
+
+    def _quoted(name: str) -> str:
+        name = (name or "").strip()
+        if not (name.startswith('"') and name.endswith('"')):
+            name = f'"{name}"'
+        return name
+
+    def run(batches):
+        for pdf in batches:
+            items = [
+                {"entity_name": n, "entity_type": t, "description": d}
+                for n, t, d in zip(
+                    pdf["entity_name"], pdf["entity_type"], pdf["description"]
+                )
+            ]
+            out = backend.enhance(items) if items else []
+            olds, news, descs = [], [], []
+            if out is not None:
+                for orig, enh in zip(items, out):
+                    new_name = _quoted(str(enh.get("entity_name", "")))
+                    new_desc = str(enh.get("description", "") or "")
+                    if new_name in ('""', ""):
+                        continue
+                    if new_name == orig["entity_name"] and (
+                        not new_desc or new_desc == orig["description"]
+                    ):
+                        continue
+                    olds.append(orig["entity_name"])
+                    news.append(new_name)
+                    descs.append(new_desc or orig["description"])
+            yield pd.DataFrame(
+                {
+                    "entity_name": olds,
+                    "enhanced_name": news,
+                    "enhanced_description": descs,
+                }
+            )
+
+    n_parts = entities.sparkSession.sparkContext.defaultParallelism
+    return unaligned.repartition(n_parts, "entity_name").mapInPandas(
+        run,
+        "entity_name string, enhanced_name string, enhanced_description string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. Connected components + contraction (J16)
 # ---------------------------------------------------------------------------

@@ -70,6 +70,79 @@ class DeterministicMediaBackend:
             yield pd.DataFrame(out)
 
 
+def recompress_to_size(
+    encode_fn,
+    target_size_bytes: int = 5 * 1024 * 1024,
+    initial_quality: int = 85,
+    step: int = 5,
+    min_quality: int = 10,
+):
+    """P23 (reference preprocessing.py:265-297 compress_image_to_size): step
+    the encode quality down until the output fits ``target_size_bytes``.
+
+    ``encode_fn(quality) -> bytes`` is the codec seam — PIL JPEG in
+    production (``pil_jpeg_encoder``), any deterministic encoder in tests.
+    Returns (bytes, quality, fits) where ``fits`` is False when even
+    ``min_quality`` could not reach the target (the reference logs a warning
+    and keeps the smallest output; so do we)."""
+    q = initial_quality
+    data = encode_fn(q)
+    while len(data) > target_size_bytes and q - step >= min_quality:
+        q -= step
+        data = encode_fn(q)
+    return data, q, len(data) <= target_size_bytes
+
+
+def pil_jpeg_encoder(content: bytes):
+    """PIL-backed ``encode_fn`` factory for recompress_to_size: decodes
+    ``content``, converts to RGB (the reference's JPG pipeline) and re-encodes
+    at the requested quality. Raises ImportError when Pillow is absent (this
+    container) — callers fall back to passing media through unchanged."""
+    import io
+
+    from PIL import Image  # gated import
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+
+    def encode(quality: int) -> bytes:
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=quality)
+        return buf.getvalue()
+
+    return encode
+
+
+def recompress_media(
+    media: DataFrame, target_size_bytes: int = 5 * 1024 * 1024
+) -> DataFrame:
+    """P23 over a media table: rows above the target re-encode through the
+    quality loop (PIL when available; pass-through otherwise — the loop logic
+    itself is tested against a fake codec). Only over-sized rows cross into
+    Python; the common case stays a JVM filter."""
+    small = media.filter(F.length("content") <= target_size_bytes)
+    big = media.filter(F.length("content") > target_size_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content = []
+            for content in pdf["content"]:
+                try:
+                    enc = pil_jpeg_encoder(bytes(content))
+                    data, _, _ = recompress_to_size(enc, target_size_bytes)
+                    out_content.append(data)
+                except ImportError:
+                    out_content.append(bytes(content))  # no PIL: pass through
+            pdf = pdf.copy()
+            pdf["content"] = out_content
+            yield pdf
+
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
+    return small.unionByName(
+        big.repartition(n_parts, "media_ref").mapInPandas(run, schema)
+    )
+
+
 class PillowFfmpegBackend:
     """Production decode backend (image via PIL, audio/video via ffmpeg).
 

@@ -41,6 +41,7 @@ def run_pipeline(
     summarizer=None,
     describer=None,
     tokenizer=None,
+    enhancer=None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
@@ -166,6 +167,31 @@ def run_pipeline(
         window=fusion_window, max_block=max_block, checkpointer=cp,
         blocking=blocking, judge_backend=judge_backend,
     )
+    # L10: unaligned image entities optionally get an LLM rewrite — renames
+    # ride the existing alias/contraction machinery, description updates
+    # apply before contraction (offline default: keep their own names)
+    if enhancer is not None:
+        enh = cp.stage_light(
+            "enhanced_unaligned", FU.enhance_unaligned(entities, aliases, enhancer)
+        )
+        entities = (
+            entities.join(
+                enh.select("entity_name", "enhanced_description"),
+                "entity_name",
+                "left",
+            )
+            .withColumn(
+                "description",
+                F.coalesce(F.col("enhanced_description"), F.col("description")),
+            )
+            .drop("enhanced_description")
+        )
+        renames = enh.filter(F.col("enhanced_name") != F.col("entity_name")).select(
+            F.col("entity_name").alias("alias"),
+            F.col("enhanced_name").alias("canonical"),
+        )
+        all_pairs = aliases.unionByName(renames)
+        aliases = cp.stage_light("aliases", FU.alias_map(all_pairs, entities))
     entities_f, edges_f = FU.contract(entities, edges, aliases)
     entities_f = cp.stage("entities", entities_f)
     edges_f = cp.stage("edges", edges_f)

@@ -184,3 +184,73 @@ def test_llm_judge_validation():
     assert judge_with("A", ['"A"', '"B"']) == '"A"'  # unquoted reply
     assert judge_with("no match", ['"A"']) is None
     assert judge_with('"C"', ['"A"', '"B"']) is None  # not offered
+
+
+def _enhance_echo_transport():
+    """Class defined inside a function so cloudpickle ships it BY VALUE to
+    workers (a module-level test class would pickle by reference and fail
+    with ModuleNotFoundError there). Parses the entity list out of the
+    enhance prompt and returns each entity renamed with an ENHANCED suffix
+    (length-matched, valid JSON)."""
+
+    class EnhanceEchoTransport:
+        def __call__(self, url, headers, payload):
+            import json as _json
+            import re as _re
+
+            msg = payload["messages"][-1]["content"]
+            items = _json.loads(_re.search(r"\[.*\]", msg, _re.DOTALL).group(0))
+            for it in items:
+                it["entity_name"] = it["entity_name"].strip('"') + " ENHANCED"
+                it["description"] = "enhanced: " + (it.get("description") or "")
+            return _json.dumps(
+                {"choices": [{"message": {"content": _json.dumps(items)}}]}
+            )
+
+    return EnhanceEchoTransport()
+
+
+def test_enhance_unaligned_selects_and_rewrites(spark):
+    """L10: only UNALIGNED image-typed entities are offered to the backend;
+    rewritten names come back quoted, aligned/text entities untouched."""
+    from mmgraphrag_spark.backends.llm import ChatClient, LLMEnhancer
+
+    ents = spark.createDataFrame(
+        [
+            ('"IMG_img://d/0"', '"ORI_IMG"', "a photo", ["m1"]),
+            ('"A (IMAGE)"', '"IMG_ENTITY"', "crop of A", ["m1"]),
+            ('"TXT"', '"PERSON"', "a person", ["c1"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    aliases = spark.createDataFrame([('"A (IMAGE)"', '"A"')], ["alias", "canonical"])
+    client = ChatClient("http://fake", transport=_enhance_echo_transport())
+    out = FU.enhance_unaligned(ents, aliases, LLMEnhancer(client)).collect()
+    assert len(out) == 1
+    assert out[0].entity_name == '"IMG_img://d/0"'
+    assert out[0].enhanced_name == '"IMG_img://d/0 ENHANCED"'
+    assert out[0].enhanced_description.startswith("enhanced: a photo")
+
+
+def test_pipeline_enhancer_renames_unaligned(spark, documents_df, pipeline_out):
+    """Pipeline wiring: enhanced renames ride the alias/contraction path —
+    ORI_IMG nodes (never aligned on this corpus) come out under their
+    enhanced names; text-side triples unchanged."""
+    from mmgraphrag_spark.backends.llm import ChatClient, LLMEnhancer
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    client = ChatClient("http://fake", transport=_enhance_echo_transport())
+    out = run_pipeline(spark, documents_df, enhancer=LLMEnhancer(client))
+    names = {r.entity_name for r in out["entities"].collect()}
+    assert any("ENHANCED" in n for n in names)
+    base_text = {
+        (r.subj, r.obj, r.weight)
+        for r in pipeline_out["triples"].collect()
+        if "IMG_" not in r.subj and "IMG_" not in r.obj
+    }
+    got_text = {
+        (r.subj, r.obj, r.weight)
+        for r in out["triples"].collect()
+        if "IMG_" not in r.subj and "IMG_" not in r.obj
+    }
+    assert got_text == base_text

@@ -76,3 +76,126 @@ def test_incremental_equals_batch(spark, corpus, documents_df, pipeline_out, tmp
         for r in ents2.collect()
     }
     assert got_e2 == exp_e
+
+
+def _write_stream_files(spark, input_dir, batches):
+    """Write one parquet file per micro-batch with increasing mtimes so the
+    file source (oldest-first) replays them in order."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema_ = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    for i, rows in enumerate(batches):
+        p = os.path.join(input_dir, f"b{i}")
+        spark.createDataFrame(rows, schema_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        base = 1_700_000_000 + i * 100
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base, base))
+    return schema_
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked windowed agg: a row arriving after the watermark passed
+    its window is DROPPED — the finalized window's count excludes it."""
+    from datetime import datetime
+
+    from mmgraphrag_spark.streaming.windows import windowed_ingest_stats
+
+    d = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    schema_ = _write_stream_files(
+        spark,
+        input_dir,
+        [
+            # batch 0: window 10:00 gets one row; max event time 10:05
+            [(d(0, 30), "web", 100), (d(5), "web", 10)],
+            # batch 1: watermark (10:03) now evicts + emits the 10:00 window
+            [(d(6), "web", 20)],
+            # batch 2: row for the ALREADY-FINALIZED 10:00 window -> dropped
+            # (a late row arriving before eviction would still merge — Spark
+            # finalizes state one batch after the watermark passes it)
+            [(d(0, 45), "web", 999), (d(7), "web", 30)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema_)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir + "/*")
+    )
+    out = windowed_ingest_stats(
+        stream, window_duration="1 minute", watermark_delay="2 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        (r.window_start.minute, r.n_docs, r.total_value)
+        for r in spark.sql("select * from wm_test").collect()
+    }
+    # the 10:00 window finalized with ONE row; the 999-char row never lands
+    assert (0, 1, 100) in rows
+    assert not any(v >= 999 for (_, _, v) in rows)
+    assert len([m for (m, _, _) in rows if m == 0]) == 1  # emitted exactly once
+
+
+def test_running_source_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-key totals persist across micro-batches."""
+    from datetime import datetime
+
+    from mmgraphrag_spark.streaming.windows import running_source_totals
+
+    d = lambda m: datetime(2026, 1, 1, 10, m)
+    input_dir = str(tmp_path / "in2")
+    os.makedirs(input_dir)
+    schema_ = _write_stream_files(
+        spark,
+        input_dir,
+        [
+            [(d(0), "web", 1), (d(0), "web", 1), (d(0), "pdf", 1)],
+            [(d(1), "web", 1)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(schema_)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir + "/*")
+    )
+    q = (
+        running_source_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()  # belt and braces: never leak a running query into the session
+    rows = [
+        (r.source, r.total, r.batch_rows)
+        for r in spark.sql("select * from totals_test").collect()
+    ]
+    assert ("web", 2, 2) in rows   # batch 0
+    assert ("web", 3, 1) in rows   # batch 1 accumulates prior state
+    assert ("pdf", 1, 1) in rows
