@@ -233,6 +233,10 @@ def build_aliases(
     normalized entity name — no positional constraint, suitable when the
     corpus is too large to band-join per document or entities must be resolved
     across documents.
+    blocking="embedding": sign-bit buckets over M1 embeddings of
+    name+description — catches paraphrased cross-modal duplicates whose
+    names share no characters (hash-embed offline; sentence-transformers
+    when installed).
     """
     cp = checkpointer or LocalCheckpointer()
     # text entity occurrences: every (entity, source chunk) mention joined to the
@@ -265,7 +269,7 @@ def build_aliases(
             "description",
         )
     )
-    if blocking == "lsh":
+    if blocking in ("lsh", "embedding"):
         typed = entities.withColumn(
             "kind",
             F.when(
@@ -273,7 +277,10 @@ def build_aliases(
                 F.lit("img"),
             ).otherwise(F.lit("text")),
         ).select("entity_name", "kind", "description")
-        members = FU.name_key_lsh_blocks(typed)
+        if blocking == "lsh":
+            members = FU.name_key_lsh_blocks(typed)
+        else:  # embedding-similarity blocking (M1 backend seam)
+            members = FU.embedding_blocks(typed)
     else:
         members = FU.neighborhood_blocks(img_members, text_occ, window=window)
     members = cp.stage("fusion_blocks", FU.cap_blocks(members, max_block=max_block))

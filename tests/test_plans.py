@@ -1,0 +1,114 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+meant (broadcasts where intended, pushdown reaching the scan, partial
+aggregation, no accidental nested-loop joins). A perf property that only
+lives in a wall-clock number regresses silently; a plan assertion fails
+loudly in CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    """A doc_id filter must reach the parquet scan as a pushed filter, and
+    the scan must prune to the selected columns only."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "LessThan(doc_id,100)" in plan
+    assert "ReadSchema" in plan
+    # pruned read schema: no lang/source/n_chars columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Hash-groupBy dedup must plan map-side partial aggregation (two
+    HashAggregate levels around one Exchange)."""
+    from mmgraphrag_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_dedup_groups(df, "doc_id", "text"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_textstats_shuffle_free(spark):
+    """Per-row text statistics are pure projections — zero Exchange nodes."""
+    from mmgraphrag_spark.operators.textstats import (
+        fingerprint,
+        language_id,
+        quality_features,
+        token_counts,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (language_id, quality_features, token_counts):
+        assert "Exchange" not in _plan(op(df, "doc_id", "text")), op.__name__
+    assert "Exchange" not in _plan(fingerprint(df, "doc_id", "text"))
+
+
+def test_simhash_fingerprint_shuffle_free(spark):
+    from mmgraphrag_spark.operators.dedup import simhash
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(simhash(df, "doc_id", "text"))
+
+
+def test_contract_broadcasts_alias_map(spark):
+    """Graph contraction joins the (tiny) alias map via broadcast — a
+    shuffle join here would reshuffle the whole edge set twice."""
+    from mmgraphrag_spark.operators.fusion import contract
+
+    entities = spark.createDataFrame(
+        [('"A"', '"PERSON"', "d", ["c"]), ('"B"', '"GEO"', "d", ["c"])],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [('"A"', '"B"', 1.0, "r", ["c"], 1)],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    aliases = spark.createDataFrame([('"X"', '"A"')], ["alias", "canonical"])
+    ents, edgs = contract(entities, edges, aliases)
+    for plan in (_plan(ents), _plan(edgs)):
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_lsh_pairs_equi_join_only(spark):
+    """MinHash LSH candidate generation must be a pure equi-join on the
+    (band, sig) bucket key — no nested loop anywhere."""
+    from mmgraphrag_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(df.limit(50), "doc_id", "text")
+    plan = _plan(lsh_candidate_pairs(sigs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_features_column_pruned(spark):
+    """The media decode UDF must see only (media_ref, mime, content): extra
+    columns must be pruned before Arrow serialization."""
+    from mmgraphrag_spark.operators.media import media_features
+
+    media = spark.createDataFrame(
+        [("m1", "image/png", bytearray(b"xx"), 2, "extra-wide-column")],
+        ["media_ref", "mime", "content", "n_bytes", "junk"],
+    )
+    plan = _plan(media_features(media))
+    # the python stage input projection excludes the junk column
+    assert "junk" not in plan.split("MapInPandas")[-1].split("\n")[0]
