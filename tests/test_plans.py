@@ -112,3 +112,33 @@ def test_media_features_column_pruned(spark):
     plan = _plan(media_features(media))
     # the python stage input projection excludes the junk column
     assert "junk" not in plan.split("MapInPandas")[-1].split("\n")[0]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key and count join with ZERO
+    Exchange — the co-located join layout the 100 TB deployment relies on."""
+    from mmgraphrag_spark.plans.bucketing import write_bucketed
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    stats = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("score")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(docs, "t_docs_b", "doc_id", 8, path=str(tmp_path / "d"))
+        write_bucketed(stats, "t_stats_b", "doc_id", 8, path=str(tmp_path / "s"))
+        # these test tables are tiny enough to broadcast, which would hide the
+        # layout property; at real scale neither side broadcasts, so disable
+        # it to expose the bucketed SortMergeJoin the layout guarantees
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_docs_b").join(spark.table("t_stats_b"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_stats_b")
