@@ -142,3 +142,29 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_stats_b")
+
+
+def test_pipeline_stages_never_plan_nested_loops(spark, documents_df):
+    """Whole-pipeline audit: capture the physical plan of EVERY stage as it
+    commits and assert none of them degenerates into a cartesian/nested-loop
+    join — the class of plan that silently turns a 100 TB run quadratic."""
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.plans import LocalCheckpointer
+
+    class RecordingCheckpointer(LocalCheckpointer):
+        def __init__(self):
+            super().__init__()
+            self.plans = {}
+
+        def stage(self, name, df):
+            self.plans[name] = _plan(df)
+            return super().stage(name, df)
+
+        stage_light = stage
+
+    cp = RecordingCheckpointer()
+    run_pipeline(spark, documents_df, checkpointer=cp)
+    assert len(cp.plans) >= 10
+    for name, plan in cp.plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
