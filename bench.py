@@ -88,10 +88,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warmup at sf0.001: spawn+import python workers and JIT the codegen
-    # paths once — the headline measures steady-state throughput, not
-    # JVM/interpreter cold start (scaling_bench warms the same way)
-    run_kg_pipeline(spark, sf_dir.replace("sf0.1", "sf0.001"), 1)
+    # warmup at the smallest available sf: spawn+import python workers and
+    # JIT the codegen paths once — the headline measures steady-state
+    # throughput, not JVM/interpreter cold start (scaling_bench warms too)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    run_kg_pipeline(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir, 1)
 
     kg = run_kg_pipeline(spark, sf_dir, replicas)
     timings["kg_pipeline"] = round(kg["seconds"], 3)
