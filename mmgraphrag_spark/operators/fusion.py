@@ -287,6 +287,46 @@ def _tokenize(text: str) -> list:
 
     return _re.findall(r"\w+", (text or "").lower())
 
+def _dbscan_eps(emb: "np.ndarray", eps: float, min_samples: int) -> "np.ndarray":
+    """Vectorized DBSCAN over dense coordinates (reference fusion.py:294-300
+    semantics): core points have >= min_samples neighbors within eps
+    (self counted, like sklearn); clusters are connected components of the
+    core-core eps-graph; border points take the min adjacent core's cluster
+    (deterministic stand-in for sklearn's scan-order assignment); everything
+    else is noise label -1 — which the reference then USES as a regular group
+    label, preserved here. Returns one label per row; cluster labels are the
+    min core member index (stable, >= 0)."""
+    nt = len(emb)
+    sq = (emb * emb).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
+    d2 = (d2 + d2.T) * 0.5  # exact symmetry (BLAS rounding)
+    adj = d2 <= eps * eps  # diagonal d2=0 keeps self-edges
+    core = adj.sum(axis=1) >= min_samples
+    tlabels = np.full(nt, -1, dtype=np.int64)
+    if core.any():
+        core_idx = np.flatnonzero(core)
+        cadj = adj[np.ix_(core_idx, core_idx)]
+        m = len(core_idx)
+        lab = np.arange(m)
+        while True:
+            nbr_min = np.where(cadj, lab[None, :], m).min(axis=1)
+            new = np.minimum(lab, nbr_min)
+            new = new[new]  # pointer jumping: halve chain depth per round
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        tlabels[core_idx] = core_idx[lab]
+        border = (~core) & adj[:, core_idx].any(axis=1)
+        if border.any():
+            b_idx = np.flatnonzero(border)
+            badj = adj[np.ix_(b_idx, core_idx)]
+            core_lab = tlabels[core_idx]
+            tlabels[b_idx] = np.where(
+                badj, core_lab[None, :], np.iinfo(np.int64).max
+            ).min(axis=1)
+    return tlabels
+
+
 def _cluster_block(
     names, kinds, descs, weights, roles, eps: float
 ):
@@ -337,39 +377,36 @@ def _cluster_block(
             i, j = idx[s], idx[t]
             A[i, j] *= max(w, 1.0)
             A[j, i] = A[i, j]
-    # M4: unnormalized Laplacian + eigendecomposition; reference uses
-    # np.linalg.eig + abs() of possibly-complex eigvecs (fusion.py:286-292);
-    # we use eigh on the symmetrized L (deterministic) and keep the abs().
-    D = np.diag(A.sum(axis=1))
-    L = D - A
-    L = (L + L.T) / 2.0
-    k = max(2, math.ceil(math.sqrt(n)))
-    k = min(k, n)
-    vals, vecs = np.linalg.eigh(L)
-    emb = np.abs(vecs[:, :k])
-    # M5: epsilon-graph clustering over spectral coords (deterministic DBSCAN
-    # stand-in, eps matches the reference's 0.5; documented deviation: no
-    # min_samples noise label — singletons become their own cluster).
-    # Fully vectorized: pairwise distances via the Gram identity
-    # |x-y|^2 = |x|^2 + |y|^2 - 2 x.y (O(n^2) C ops, no n x n x k broadcast
-    # temp), then connected components by min-label propagation with pointer
-    # jumping — converges in O(log n) dense-matrix rounds, replacing the
-    # interpreted O(n^2) Python pair loop that dominated the fusion stage.
-    sq = (emb * emb).sum(axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (emb @ emb.T)
-    d2 = (d2 + d2.T) * 0.5  # exact symmetry (BLAS rounding)
-    adj = d2 <= eps * eps  # diagonal d2=0 keeps self-edges
-    labels = np.arange(n)
-    while True:
-        nbr_min = np.where(adj, labels[None, :], n).min(axis=1)
-        new = np.minimum(labels, nbr_min)
-        new = new[new]  # pointer jumping: halve chain depth per round
-        if np.array_equal(new, labels):
-            break
-        labels = new
-    # label values = min member index per component, matching the previous
-    # union-find's attach-max-under-min convention.
+    # The reference clusters the nearby TEXT entities only and brings image
+    # entities in afterwards via kNN (fusion.py:280-330) — mirror that: the
+    # Laplacian / eig / DBSCAN run on the text submatrix of the Gram.
     text_mask = node_kinds == "text"
+    nt = int(text_mask.sum())
+    labels = np.arange(n)
+    if nt > 0:
+        # M4: unnormalized Laplacian + eigendecomposition; reference uses
+        # np.linalg.eig + abs() of possibly-complex eigvecs (fusion.py:286-292);
+        # we use eigh on the symmetrized L (deterministic) and keep the abs().
+        At = A[np.ix_(text_mask, text_mask)]
+        D = np.diag(At.sum(axis=1))
+        L = D - At
+        L = (L + L.T) / 2.0
+        k = max(2, math.ceil(math.sqrt(nt)))
+        k = min(k, nt)
+        vals, vecs = np.linalg.eigh(L)
+        emb = np.abs(vecs[:, :k])
+        # M5: DBSCAN over the spectral coords, reference parameters
+        # (fusion.py:294-300): eps=0.5, min_samples = max(1, ceil(n_text/10)),
+        # and the reference USES the noise label -1 as a regular group label
+        # downstream — preserved. Fully vectorized: pairwise distances via the
+        # Gram identity, core mask by neighbor count (self counted, like
+        # sklearn), clusters = min-label propagation over the core-core
+        # subgraph with pointer jumping, border points take the min adjacent
+        # core's cluster (deterministic stand-in for sklearn's scan-order
+        # assignment), everything else stays -1.
+        min_samples = max(1, math.ceil(nt / 10))
+        labels = labels.copy()
+        labels[text_mask] = _dbscan_eps(emb, eps, min_samples)
     # M6: image entities take the label of the nearest TEXT entity by cosine
     # (n_neighbors=1 with a guard for blocks without text members; the
     # reference's unconditional n=3 refit crashes on tiny blocks — guarded).
@@ -377,7 +414,6 @@ def _cluster_block(
         sims = np.where(text_mask[None, :], A, -np.inf)  # cosine Gram
         nearest_txt = sims.argmax(axis=1)
         img_rows = ~text_mask
-        labels = labels.copy()
         labels[img_rows] = labels[nearest_txt[img_rows]]
     return list(node_names), list(node_kinds), labels
 

@@ -254,3 +254,46 @@ def test_pipeline_enhancer_renames_unaligned(spark, documents_df, pipeline_out):
         if "IMG_" not in r.subj and "IMG_" not in r.obj
     }
     assert got_text == base_text
+
+
+def test_dbscan_eps_reference_semantics():
+    """M5 faithful DBSCAN (driver-side unit, controlled coordinates):
+    min_samples gates core status (self counted, sklearn-style), border
+    points join an adjacent core's cluster, isolated points become noise -1
+    — and ALL noise shares that one label, the reference's downstream quirk."""
+    import numpy as np
+
+    from mmgraphrag_spark.operators.fusion import _dbscan_eps
+
+    # line of 3 points 0.4 apart, a 4th point 0.45 past the end, two isolated
+    emb = np.array(
+        [[0.0], [0.4], [0.8], [1.25], [5.0], [9.0]]
+    )
+    labels = _dbscan_eps(emb, eps=0.5, min_samples=2)
+    assert labels[0] == labels[1] == labels[2] == 0  # one chained cluster
+    assert labels[3] == 0   # 2 neighbors incl. self -> core, joins the chain
+    assert labels[4] == -1 and labels[5] == -1  # noise shares -1
+
+    # min_samples=3: points 1 and 2 are core (3 neighbors incl. self); points
+    # 0 and 3 are BORDER (non-core, adjacent to a core) and join the cluster
+    labels3 = _dbscan_eps(emb, eps=0.5, min_samples=3)
+    assert labels3[0] == labels3[1] == labels3[2] == labels3[3]
+    assert labels3[0] >= 0
+    assert labels3[4] == -1 and labels3[5] == -1
+
+    # min_samples=1: every point is core -> pure eps-graph components
+    labels1 = _dbscan_eps(emb, eps=0.5, min_samples=1)
+    assert labels1[0] == labels1[1] == labels1[2] == labels1[3] == 0
+    assert labels1[4] == 4 and labels1[5] == 5  # singletons cluster alone
+
+    # sklearn parity on the same input (skipped when sklearn is absent)
+    try:
+        from sklearn.cluster import DBSCAN
+    except ImportError:
+        return
+    sk = DBSCAN(eps=0.5, min_samples=2).fit_predict(emb)
+    # same partition (label VALUES differ; grouping must match)
+    import itertools
+
+    for i, j in itertools.combinations(range(len(emb)), 2):
+        assert (labels[i] == labels[j]) == (sk[i] == sk[j])
