@@ -69,22 +69,39 @@ class YoloMllmBackend:
             "use DeterministicSceneBackend offline"
         )
 
-def describe_media(media_spans: DataFrame, describer) -> DataFrame:
+def describe_media(
+    media_spans: DataFrame, describer, media_bytes: DataFrame | None = None
+) -> DataFrame:
     """L3: MLLM description + segmentation flag per media span (reference
-    pdf2md_preprocessing.py:177-198). ``describer.describe(caption, context)``
-    returns (description, segmentation); the flag REPLACES the default-True
-    ``segmentation`` column and the description lands in ``mllm_description``
-    (consumed by scene_graph for the ORI_IMG node). Arrow-batched; partitions
-    pinned before the python stage."""
+    pdf2md_preprocessing.py:177-198). ``describer.describe(caption, context,
+    image_b64)`` returns (description, segmentation); the flag REPLACES the
+    default-True ``segmentation`` column and the description lands in
+    ``mllm_description`` (consumed by scene_graph for the ORI_IMG node).
+
+    ``media_bytes`` (media_ref, content binary — e.g. read_docx_media /
+    read_pdf_media output) joins on media_ref and rides to the describer as
+    base64 (P22; the reference base64-encodes the image file for the MLLM
+    call). Encoding happens JVM-side (F.base64) so only the final string
+    crosses into Python. Arrow-batched; partitions pinned."""
     import pandas as pd
 
     cols = media_spans.columns
+    src = media_spans
+    if media_bytes is not None:
+        b64 = media_bytes.select(
+            "media_ref", F.base64(F.col("content")).alias("_img_b64")
+        )
+        src = media_spans.join(b64, "media_ref", "left")
+    else:
+        src = media_spans.withColumn("_img_b64", F.lit(None).cast("string"))
 
     def run(batches):
         for pdf in batches:
             descs, segs = [], []
-            for caption, context in zip(pdf["caption"], pdf["context"]):
-                d, s = describer.describe(caption or "", context or "")
+            for caption, context, b in zip(
+                pdf["caption"], pdf["context"], pdf["_img_b64"]
+            ):
+                d, s = describer.describe(caption or "", context or "", b)
                 descs.append(d)
                 segs.append(s)
             out = pdf.copy()
@@ -97,7 +114,7 @@ def describe_media(media_spans: DataFrame, describer) -> DataFrame:
         for c in cols
     ) + ", mllm_description string"
     n_parts = media_spans.sparkSession.sparkContext.defaultParallelism
-    return media_spans.repartition(n_parts, "media_ref").mapInPandas(run, out_schema)
+    return src.repartition(n_parts, "media_ref").mapInPandas(run, out_schema)
 
 
 def detect_scene_objects(media_spans: DataFrame, backend=None) -> DataFrame:

@@ -42,6 +42,7 @@ def run_pipeline(
     describer=None,
     tokenizer=None,
     enhancer=None,
+    media_bytes: DataFrame | None = None,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
@@ -146,7 +147,10 @@ def run_pipeline(
     # L3: optional MLLM describer replaces the default segmentation=True flag
     # and supplies the ORI_IMG description; its flag gates object detection
     if describer is not None:
-        media = cp.stage_light("media_described", SC.describe_media(media, describer))
+        media = cp.stage_light(
+            "media_described",
+            SC.describe_media(media, describer, media_bytes=media_bytes),
+        )
     objects = SC.detect_scene_objects(media, backend=scene_backend)
     img_ents_m, img_rels_m = SC.scene_graph(media, objects)
     img_ents_m = cp.stage("image_entity_mentions", img_ents_m)

@@ -102,3 +102,40 @@ def test_describe_media_gates_segmentation(spark):
            if r.entity_name.startswith('"IMG_img')}
     assert ori['"IMG_img://a/0"'] == "desc of one"
     assert ori['"IMG_img://b/0"'] == "desc of two"
+
+
+def test_describe_media_ships_base64_bytes(spark):
+    """P22: media bytes join by ref and reach the describer as base64
+    (encoded JVM-side); spans without bytes see None."""
+    import base64
+
+    from mmgraphrag_spark.backends.llm import ChatClient, MllmDescriber
+    from mmgraphrag_spark.operators.scene import describe_media
+
+    media = spark.createDataFrame(
+        [
+            ("img://a/0", "d1", "cap a", "ctx", 1, "c1", True),
+            ("img://b/0", "d2", "cap b", "ctx", 1, "c2", True),
+        ],
+        ["media_ref", "doc_id", "caption", "context", "chunk_order_index",
+         "chunk_id", "segmentation"],
+    )
+    blob = b"\x89PNGbytes"
+    media_bytes = spark.createDataFrame(
+        [("img://a/0", bytearray(blob))], ["media_ref", "content"]
+    )
+
+    class B64EchoTransport:
+        def __call__(self, url, headers, payload):
+            import json as _json
+
+            msg = payload["messages"][-1]["content"]
+            seen = "withimg" if "[image/base64]" in msg else "noimg"
+            return _json.dumps({"choices": [{"message": {"content":
+                '{"description": "%s", "segmentation": false}' % seen}}]})
+
+    client = ChatClient("http://fake", transport=B64EchoTransport())
+    out = describe_media(media, MllmDescriber(client), media_bytes=media_bytes)
+    got = {r.media_ref: r.mllm_description for r in out.collect()}
+    assert got["img://a/0"] == "withimg"   # bytes joined and base64 shipped
+    assert got["img://b/0"] == "noimg"     # no bytes row -> no image payload
