@@ -45,10 +45,20 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_interleaved(spark, sf_dir)
 
 
+_KG_MEMO: dict = {}
+
+
 def _kg(spark: SparkSession, sf_dir: str) -> dict:
+    """One pipeline run shared by every kg_* query: the outputs are stage
+    snapshots (localCheckpoint — valid for the session's lifetime), so the
+    driver's four kg_* probes read the same materialized run instead of
+    re-executing the whole pipeline each time."""
     from mmgraphrag_spark.pipeline import run_pipeline
 
-    return run_pipeline(spark, _interleaved(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    if key not in _KG_MEMO:
+        _KG_MEMO[key] = run_pipeline(spark, _interleaved(spark, sf_dir))
+    return _KG_MEMO[key]
 
 
 # ---------------------------------------------------------------------------
