@@ -96,3 +96,40 @@ def test_entity_merge_order_insensitive(spark, mentions, seed):
         for r in rows
     )
     assert key(a) == key(b)
+
+
+@given(st.text(max_size=300))
+@_settings
+def test_regex_tokenizer_roundtrip_property(text):
+    """P9 invariant: decode(encode(x)) == x for ANY text — every character
+    belongs to exactly one token (whitespace rides as prefixes)."""
+    from mmgraphrag_spark.backends.tokenizer import RegexTokenizerBackend
+
+    t = RegexTokenizerBackend()
+    assert t.decode(t.encode(text)) == text
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["entity_name", "entity_type", "description"]),
+            st.text(max_size=30),
+            min_size=1,
+            max_size=3,
+        ),
+        max_size=5,
+    ),
+    st.text(max_size=40),
+    st.text(max_size=40),
+)
+@_settings
+def test_salvage_json_list_recovers_valid_lists(items, prefix, suffix):
+    """P16 invariant: a VALID JSON list embedded in arbitrary noise is
+    recovered intact (strict pass), for any dict contents incl. quotes."""
+    import json
+
+    from mmgraphrag_spark.backends.llm import salvage_json_list
+
+    noise_prefix = prefix.replace("[", "(").replace("]", ")")
+    payload = json.dumps(items)
+    assert salvage_json_list(noise_prefix + payload + suffix) == items
