@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mmgraphrag_spark import GRAPH_FIELD_SEP
 from mmgraphrag_spark.functions.vectors import cosine_similarity_col
 from mmgraphrag_spark.schema import EMBED_DIM
 

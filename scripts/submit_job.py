@@ -38,7 +38,7 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--blocking", default="neighborhood",
-                   choices=["neighborhood", "lsh"])
+                   choices=["neighborhood", "lsh", "embedding"])
     p.add_argument("--doc-partitions", type=int, default=None)
     p.add_argument("--max-block", type=int, default=2000)
     p.add_argument("--derive-interleaved", action="store_true",
