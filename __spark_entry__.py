@@ -163,6 +163,61 @@ def _q_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_near_dup_groups(spark, sf_dir):
+    """The full dedup decision pipeline: MinHash -> LSH candidates -> exact
+    Jaccard verify (>= 0.8) -> connected components -> one representative per
+    duplicate group. Exact oracle: recursive CTE over the same verified pair
+    set."""
+    from mmgraphrag_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_groups,
+    )
+
+    flat = _flat(spark, sf_dir)
+    sigs = minhash_signatures(flat, "doc_id", "text", bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = jaccard_verify(
+        pairs, flat, "doc_id", "text", shingle_len=3, threshold=0.8
+    ).select("a", "b")
+    out = near_dup_groups(verified, flat, id_col="doc_id")
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        "is_duplicate",
+    )
+
+
+def _q_link_stats(spark, sf_dir):
+    """Link/contact density features. URLs/emails are planted deterministically
+    (the synthetic corpus has none), so the oracle asserts real counts."""
+    from mmgraphrag_spark.operators.textstats import link_stats
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/page/"),
+                    F.col("doc_id"),
+                    F.lit(" or mail team"),
+                    F.col("doc_id") % 7,
+                    F.lit("@corp.example.org now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return link_stats(flat, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        "url_char_ratio",
+    )
+
+
 def _q_simhash(spark, sf_dir):
     from mmgraphrag_spark.operators.dedup import simhash
 
@@ -631,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
         "jaccard_pairs": _q_jaccard_pairs,
+        "near_dup_groups": _q_near_dup_groups,
+        "link_stats": _q_link_stats,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "token_counts": _q_token_counts,
@@ -850,6 +907,80 @@ bounded AS (
 )
 SELECT DISTINCT x.id AS a, y.id AS b
 FROM bounded x JOIN bounded y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+"""
+
+    # full dedup decision: LSH candidates + jaccard >= 0.8 verify + recursive
+    # connected components; composes the shingle/sig fragments above
+    sql["near_dup_groups"] = _SHINGLES3.replace(
+        "WITH t AS", "WITH RECURSIVE t AS"
+    ) + """
+, sigs AS (
+  SELECT sh.doc_id AS id, bands.band AS band,
+         min(md5('seed' || (bands.band * 2) || ':' || s)) || '|' ||
+         min(md5('seed' || (bands.band * 2 + 1) || ':' || s)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
+  GROUP BY 1, 2
+),
+bounded AS (
+  SELECT id, band, sig FROM (
+    SELECT id, band, sig,
+           row_number() OVER (PARTITION BY band, sig ORDER BY id) AS rn
+    FROM sigs
+  ) WHERE rn <= 1000
+),
+lshp AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bounded x JOIN bounded y ON x.band = y.band AND x.sig = y.sig AND x.id < y.id
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM lshp p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT p.a, p.b
+  FROM lshp p
+  JOIN cnt na ON na.doc_id = p.a
+  JOIN cnt nb ON nb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.8
+),
+e AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+r AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM e JOIN r ON r.node = e.b
+),
+comp AS (SELECT node, min(lbl) AS keep FROM r GROUP BY node)
+SELECT CAST(node AS BIGINT) AS id, CAST(keep AS BIGINT) AS keep_id,
+       node <> keep AS is_duplicate
+FROM comp
+"""
+
+    sql["link_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' see https://example.com/page/' || doc_id ||
+                           ' or mail team' || (doc_id % 7) ||
+                           '@corp.example.org now'
+                      ELSE '' END AS text
+  FROM documents
+),
+x AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, 'https?://[^\\s]+') AS urls,
+         regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+') AS emails
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST(len(urls) AS BIGINT) AS n_urls,
+       CAST(len(emails) AS BIGINT) AS n_emails,
+       round(CAST(COALESCE(list_sum(list_transform(urls, u -> len(u))), 0) AS DOUBLE)
+             / greatest(len(text), 1), 4) AS url_char_ratio
+FROM x
 """
 
     _simhash_cte = f"""

@@ -99,7 +99,8 @@ def main() -> None:
 
     bench_queries = [
         "c1_chunking", "exact_dedup", "minhash_bands", "lsh_pairs", "simhash",
-        "simhash_pairs", "lang_id", "quality", "token_counts", "fingerprint",
+        "simhash_pairs", "near_dup_groups", "lang_id", "quality",
+        "token_counts", "fingerprint", "link_stats",
         "ann_topk", "lsh_ann_topk", "ivf_topk", "embedding_near_dups",
         "embedding_near_dups_lsh", "centroid_dims",
         "a1_entity_merge", "a2_edge_merge", "a10_token_budget", "w4_ranking",

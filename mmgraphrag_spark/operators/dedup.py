@@ -276,6 +276,36 @@ def embedding_near_dups(
     )
 
 
+def near_dup_groups(pairs: DataFrame, df: DataFrame, id_col: str = "id") -> DataFrame:
+    """The dedup DECISION step: verified candidate pairs -> connected
+    components -> one representative (min id) per duplicate group.
+
+    Candidate generation (MinHash/LSH, SimHash, embedding LSH) emits PAIRS;
+    a production pipeline must then pick keep/drop sets even when duplicates
+    chain (a~b, b~c). Components come from the same hash-min loop fusion uses
+    (shallow star/chain graphs converge in 2-3 rounds); the component map
+    covers only ids that appear in some pair — tiny relative to the corpus —
+    and joins back to the full id set (Catalyst picks broadcast when it fits;
+    no hint, because at extreme dup rates the map may not be broadcastable).
+    Output: one row per input row — (id, keep_id, is_duplicate)."""
+    from mmgraphrag_spark.operators.fusion import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col("a").alias("alias"), F.col("b").alias("canonical"))
+    )
+    m = comp.select(
+        F.col("entity_name").alias("_id"), F.col("component").alias("_keep")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(m, F.col("id") == F.col("_id"), "left")
+        .drop("_id")
+        .withColumn("keep_id", F.coalesce(F.col("_keep"), F.col("id")))
+        .drop("_keep")
+        .withColumn("is_duplicate", F.col("id") != F.col("keep_id"))
+    )
+
+
 def embedding_near_dups_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -105,3 +105,26 @@ def fingerprint(
         F.col(id_col).alias("id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def link_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_urls, n_emails, url_char_ratio): link/contact density features —
+    standard training-data quality signals (boilerplate and spam pages are
+    link-dense). Pure JVM regex (RE2-compatible patterns, reproducible in the
+    SQL oracle); zero shuffles."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(r"https?://[^\s]+"), 0)
+    emails = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+        0,
+    )
+    url_chars = F.aggregate(
+        F.transform(urls, lambda u: F.length(u)), F.lit(0), lambda a, x: a + x
+    )
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(urls).alias("n_urls"),
+        F.size(emails).alias("n_emails"),
+        F.round(url_chars / n_chars, 4).alias("url_char_ratio"),
+    )

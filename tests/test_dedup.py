@@ -111,3 +111,16 @@ def test_embedding_near_dups_lsh_no_bnlj(spark):
     plan = D.embedding_near_dups_lsh(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_groups_transitive(spark):
+    """Dedup decision: chained pairs (a~b, b~c) collapse to one group with
+    the min id as representative; unpaired rows keep themselves."""
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (7, 9)], ["a", "b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    out = {r.id: (r.keep_id, r.is_duplicate)
+           for r in D.near_dup_groups(pairs, ids, id_col="doc_id").collect()}
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (1, True)
+    assert out[7] == (7, False) and out[9] == (7, True)
+    assert out[5] == (5, False)  # untouched row keeps itself
+    assert len(out) == 10

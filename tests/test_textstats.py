@@ -52,3 +52,18 @@ def test_fingerprint_stability(spark):
     got = {r.id: r.fingerprint for r in TS.fingerprint(df, "doc_id", "text").collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_link_stats(spark):
+    rows = [
+        (1, "plain text with no links at all"),
+        (2, "go to https://a.example/x and http://b.example/y?z=1 or write me@host.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from mmgraphrag_spark.operators.textstats import link_stats
+
+    out = {r.id: (r.n_urls, r.n_emails, r.url_char_ratio)
+           for r in link_stats(df, "doc_id", "text").collect()}
+    assert out[1] == (0, 0, 0.0)
+    n_urls, n_emails, ratio = out[2]
+    assert n_urls == 2 and n_emails == 1 and 0 < ratio < 1
