@@ -55,7 +55,9 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
     re-executing the whole pipeline each time."""
     from mmgraphrag_spark.pipeline import run_pipeline
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped session's address can be reused
+    # by a new SparkSession, which would serve DataFrames of a dead context
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KG_MEMO:
         _KG_MEMO[key] = run_pipeline(spark, _interleaved(spark, sf_dir))
     return _KG_MEMO[key]

@@ -28,7 +28,10 @@ from __future__ import annotations
 import re
 
 # one token = optional leading whitespace + an atom; identical semantics in
-# python re, Java regex (Spark) and RE2 (DuckDB) — [0-9] not \d on purpose
+# python re, Java regex (Spark) and RE2 (DuckDB) — [0-9] not \d on purpose,
+# and the python side compiles with re.ASCII because Java regex and RE2 treat
+# \s as ASCII-only while python re defaults to Unicode (U+00A0 etc. would
+# otherwise tokenize differently across engines)
 TOKEN_PATTERN = r"\s*(?:[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])"
 
 
@@ -36,10 +39,18 @@ class RegexTokenizerBackend:
     """Deterministic BPE-ish tokenizer with exact decode round-trip."""
 
     def __init__(self) -> None:
-        self._re = re.compile(TOKEN_PATTERN)
+        self._re = re.compile(TOKEN_PATTERN, re.ASCII)
 
     def encode(self, text: str) -> list:
-        return self._re.findall(text or "")
+        text = text or ""
+        toks = self._re.findall(text)
+        # the pattern consumes a contiguous prefix ending at the last atom;
+        # TRAILING whitespace belongs to no token — restore it as a final
+        # token so decode(encode(x)) == x holds for every input
+        consumed = sum(len(t) for t in toks)
+        if consumed < len(text):
+            toks.append(text[consumed:])
+        return toks
 
     def decode(self, tokens: list) -> str:
         return "".join(tokens)

@@ -276,7 +276,9 @@ def embedding_near_dups(
     )
 
 
-def near_dup_groups(pairs: DataFrame, df: DataFrame, id_col: str = "id") -> DataFrame:
+def near_dup_groups(
+    pairs: DataFrame, df: DataFrame, id_col: str = "id", max_iter: int = 50
+) -> DataFrame:
     """The dedup DECISION step: verified candidate pairs -> connected
     components -> one representative (min id) per duplicate group.
 
@@ -290,8 +292,12 @@ def near_dup_groups(pairs: DataFrame, df: DataFrame, id_col: str = "id") -> Data
     Output: one row per input row — (id, keep_id, is_duplicate)."""
     from mmgraphrag_spark.operators.fusion import connected_components
 
+    # near-dup graphs CHAIN (a~b~c via incremental drift): labels move one
+    # hop per round, so max_iter bounds the reachable component DIAMETER;
+    # connected_components raises rather than returning unconverged labels
     comp = connected_components(
-        pairs.select(F.col("a").alias("alias"), F.col("b").alias("canonical"))
+        pairs.select(F.col("a").alias("alias"), F.col("b").alias("canonical")),
+        max_iter=max_iter,
     )
     m = comp.select(
         F.col("entity_name").alias("_id"), F.col("component").alias("_keep")

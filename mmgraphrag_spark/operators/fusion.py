@@ -670,13 +670,16 @@ def enhance_unaligned(
 # 4. Connected components + contraction (J16)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Hash-min label propagation over undirected (alias, canonical) pairs.
 
-    Returns (entity_name, component) where component = lexicographic-min name
-    reachable. Iterates until fixpoint with localCheckpoint per round to cut
-    lineage (SURVEY §4 "connected components"); alias graphs are shallow
-    (stars), so this converges in 2-3 rounds.
+    Returns (entity_name, component) where component = min name/id reachable.
+    Iterates until fixpoint with localCheckpoint per round to cut lineage
+    (SURVEY §4 "connected components"); alias graphs are shallow (stars), so
+    this converges in 2-3 rounds — but labels move one hop per round, so
+    long CHAINS (near-dup drift graphs) need diameter-many rounds. Raises
+    RuntimeError instead of silently returning unconverged labels when
+    ``max_iter`` is exhausted; callers with deep graphs raise ``max_iter``.
     """
     # cut the (potentially huge) upstream lineage ONCE — every loop iteration
     # re-reads these edges, and without this the whole pipeline above would be
@@ -716,6 +719,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the pair graph has a longer chain than expected; raise max_iter"
+        )
     return comp
 
 def largest_connected_component(edges: DataFrame) -> DataFrame:

@@ -119,7 +119,12 @@ def recompress_media(
     quality loop (PIL when available; pass-through otherwise — the loop logic
     itself is tested against a fake codec). Only over-sized rows cross into
     Python; the common case stays a JVM filter."""
-    small = media.filter(F.length("content") <= target_size_bytes)
+    # null-safe split: F.length(NULL) is NULL and would fail BOTH branches,
+    # silently dropping rows with missing content — keep them on the
+    # pass-through side instead
+    small = media.filter(
+        F.col("content").isNull() | (F.length("content") <= target_size_bytes)
+    )
     big = media.filter(F.length("content") > target_size_bytes)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -109,9 +109,10 @@ def describe_media(
             out["mllm_description"] = descs
             yield out[cols + ["mllm_description"]]
 
+    # derive the output schema from the INPUT schema (plus the new column) —
+    # a hand-rolled name-to-type map would silently mistype any future column
     out_schema = ", ".join(
-        f"{c} {'boolean' if c == 'segmentation' else 'string' if c not in ('chunk_order_index',) else 'long'}"
-        for c in cols
+        f"{f.name} {f.dataType.simpleString()}" for f in media_spans.schema
     ) + ", mllm_description string"
     n_parts = media_spans.sparkSession.sparkContext.defaultParallelism
     return src.repartition(n_parts, "media_ref").mapInPandas(run, out_schema)

@@ -88,13 +88,20 @@ def dedup_chunk_occurrences(occurrences: DataFrame) -> DataFrame:
         .drop("_rn")
     )
 
-def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
-    # NOTE (measured): a "fast path" that normalizes whitespace with
-    # regexp_replace + regexp_count instead of building the token array was
-    # tried and is ~60% SLOWER on the JVM — split('\s+') + slice + concat_ws
-    # beats two full regex passes. Keep the array formulation.
+def _windowed_chunk_rows(
+    spans: DataFrame, toks, joiner: str, max_tokens: int, overlap: int
+) -> DataFrame:
+    """Shared sliding-window chunker body: ``toks`` is the token-array
+    expression, ``joiner`` the string that reassembles a window (" " for
+    whitespace tokens, "" for BPE-ish tokens that carry their own leading
+    whitespace). Both chunking paths and their SQL oracles are this one
+    pipeline with those two knobs — keep them in lockstep.
+
+    NOTE (measured): a "fast path" that normalizes whitespace with
+    regexp_replace + regexp_count instead of building the token array was
+    tried and is ~60% SLOWER on the JVM — split + slice + join beats two
+    full regex passes. Keep the array formulation."""
     step = max_tokens - overlap
-    toks = F.split(F.trim(clean_str_col(F.col("text"))), r"\s+")
     t = (
         spans.filter(F.col("kind") == "text")
         .withColumn("_toks", toks)
@@ -113,7 +120,7 @@ def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
         .select(
             "doc_id",
             "offset",
-            F.concat_ws(" ", "_window").alias("content"),
+            F.array_join("_window", joiner).alias("content"),
             F.size("_window").alias("tokens"),
         )
         .filter(F.col("tokens") > 0)
@@ -125,6 +132,11 @@ def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
         "tokens",
         F.col("offset").alias("chunk_order_index"),
     )
+
+
+def _chunk_rows(spans: DataFrame, max_tokens: int, overlap: int) -> DataFrame:
+    toks = F.split(F.trim(clean_str_col(F.col("text"))), r"\s+")
+    return _windowed_chunk_rows(spans, toks, " ", max_tokens, overlap)
 
 def chunk_text_spans_bpe(
     spans: DataFrame,
@@ -145,41 +157,12 @@ def chunk_text_spans_bpe(
     plumbing."""
     from mmgraphrag_spark.backends.tokenizer import TOKEN_PATTERN
 
-    step = max_tokens - overlap
     toks = F.regexp_extract_all(
         F.trim(clean_str_col(F.col("text"))), F.lit(TOKEN_PATTERN), 0
     )
-    t = (
-        spans.filter(F.col("kind") == "text")
-        .withColumn("_toks", toks)
-        .withColumn("_n", F.size("_toks"))
-        .withColumn(
-            "_starts",
-            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step)),
-        )
-        .select(
-            "doc_id",
-            "offset",
-            F.col("_toks"),
-            F.posexplode("_starts").alias("_w", "_start"),
-        )
-        .withColumn("_window", F.slice("_toks", F.col("_start") + 1, max_tokens))
-        .select(
-            "doc_id",
-            "offset",
-            F.array_join("_window", "").alias("content"),
-            F.size("_window").alias("tokens"),
-        )
-        .filter(F.col("tokens") > 0)
+    return dedup_chunk_occurrences(
+        _windowed_chunk_rows(spans, toks, "", max_tokens, overlap)
     )
-    rows = t.select(
-        mdhash_id(F.col("content"), "chunk-").alias("chunk_id"),
-        "doc_id",
-        "content",
-        "tokens",
-        F.col("offset").alias("chunk_order_index"),
-    )
-    return dedup_chunk_occurrences(rows)
 
 
 def chunk_text_spans_tokenized(

@@ -118,9 +118,9 @@ def link_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
         0,
     )
-    url_chars = F.aggregate(
-        F.transform(urls, lambda u: F.length(u)), F.lit(0), lambda a, x: a + x
-    )
+    # total url chars WITHOUT interpreted array lambdas (CLAUDE.md rule 4):
+    # join-then-length is codegen'd and equals the per-element length sum
+    url_chars = F.length(F.array_join(urls, ""))
     n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
     return df.select(
         F.col(id_col).alias("id"),

@@ -139,6 +139,31 @@ _R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
+def _file_key(fpath: str) -> str:
+    """Scheme-stripped FULL path. media_refs must stay unique across
+    same-named files in different directories (binaryFile loads recursively),
+    so refs embed the whole path, never just the basename. Hadoop URIs come
+    as ``file:/x`` or ``s3a://bucket/x`` — strip ``scheme:`` and any leading
+    slashes."""
+    import re
+
+    return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "", fpath).lstrip("/")
+
+
+def _doc_id(full_text: str, rows) -> str:
+    """"doc-" + md5 over the extracted text AND the ordered media refs.
+    Hashing text alone merges media-only files (CID-font PDFs, scanned docs
+    all extract the same empty text) into one corrupted document; media refs
+    embed the file path, so distinct files never collide, while a
+    byte-identical re-ingest of the same path still dedups."""
+    import hashlib
+
+    refs = "\x00".join(ref for (_, _, kind, _, ref) in rows if kind != "text")
+    return (
+        "doc-" + hashlib.md5((full_text + "\x00" + refs).encode("utf-8")).hexdigest()
+    )
+
+
 def _parse_docx_bytes(name: str, blob: bytes):
     """One .docx -> (full_text, [(pord, sord, kind, text, media_ref)]).
 
@@ -203,9 +228,9 @@ def read_docx_dir(spark: SparkSession, path: str, glob: str = "*.docx") -> DataF
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "pord", "sord", "kind", "text", "media_ref")}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(fpath)
+                name = _file_key(fpath)
                 full_text, rows = _parse_docx_bytes(name, bytes(blob))
-                did = "doc-" + hashlib.md5(full_text.encode("utf-8")).hexdigest()
+                did = _doc_id(full_text, rows)
                 for pord, sord, kind, text, ref in rows:
                     out["doc_id"].append(did)
                     out["pord"].append(pord)
@@ -361,9 +386,9 @@ def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFra
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "pord", "sord", "kind", "text", "media_ref")}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(fpath)
+                name = _file_key(fpath)
                 full_text, rows, _ = _parse_pdf_bytes(name, bytes(blob))
-                did = "doc-" + hashlib.md5(full_text.encode("utf-8")).hexdigest()
+                did = _doc_id(full_text, rows)
                 for pord, sord, kind, text, ref in rows:
                     out["doc_id"].append(did)
                     out["pord"].append(pord)
@@ -398,7 +423,7 @@ def read_pdf_media(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataF
         for pdf in batches:
             refs, mimes, blobs = [], [], []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                _, _, media = _parse_pdf_bytes(os.path.basename(fpath), bytes(blob))
+                _, _, media = _parse_pdf_bytes(_file_key(fpath), bytes(blob))
                 for ref, mime, data in media:
                     refs.append(ref)
                     mimes.append(mime)
@@ -434,7 +459,7 @@ def read_docx_media(spark: SparkSession, path: str, glob: str = "*.docx") -> Dat
         for pdf in batches:
             refs, mime_l, blobs = [], [], []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(fpath)
+                name = _file_key(fpath)
                 with zipfile.ZipFile(io.BytesIO(bytes(blob))) as z:
                     for info in z.infolist():
                         if not info.filename.startswith("word/media/"):

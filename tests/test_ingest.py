@@ -103,6 +103,7 @@ def test_read_docx_dir_interleaved_spans(spark, tmp_path):
     os.makedirs(d)
     _write_docx(str(d / "report.docx"))
     docs = read_docx_dir(spark, str(d)).collect()
+    key = str(d / "report.docx").lstrip("/")
     assert len(docs) == 1
     spans = docs[0].spans
     seq = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
@@ -110,8 +111,8 @@ def test_read_docx_dir_interleaved_spans(spark, tmp_path):
     assert [k for (k, _, _, _) in seq] == ["text", "text", "image", "image", "text"]
     # run-split paragraph text is concatenated like python-docx para.text
     assert spans[0].text == "First paragraph about ENTITY_1."
-    assert spans[2].media_ref == "docx://report.docx/media/image1.png"
-    assert spans[3].media_ref == "docx://report.docx/media/image2.jpeg"
+    assert spans[2].media_ref == f"docx://{key}/media/image1.png"
+    assert spans[3].media_ref == f"docx://{key}/media/image2.jpeg"
     assert docs[0].doc_id.startswith("doc-")
 
 
@@ -123,9 +124,10 @@ def test_read_docx_media_joins_spans(spark, tmp_path):
     d = tmp_path / "docs"
     os.makedirs(d)
     _write_docx(str(d / "report.docx"))
+    key = str(d / "report.docx").lstrip("/")
     media = {r.media_ref: (r.mime, bytes(r.content)) for r in read_docx_media(spark, str(d)).collect()}
-    assert media["docx://report.docx/media/image1.png"] == ("image/png", _PNG_BYTES)
-    assert media["docx://report.docx/media/image2.jpeg"] == ("image/jpeg", _JPG_BYTES)
+    assert media[f"docx://{key}/media/image1.png"] == ("image/png", _PNG_BYTES)
+    assert media[f"docx://{key}/media/image2.jpeg"] == ("image/jpeg", _JPG_BYTES)
     span_refs = {
         s.media_ref
         for r in read_docx_dir(spark, str(d)).collect()
@@ -182,12 +184,13 @@ def test_read_pdf_dir_interleaved_spans(spark, tmp_path):
     os.makedirs(d)
     _write_pdf(str(d / "paper.pdf"))
     docs = read_pdf_dir(spark, str(d)).collect()
+    key = str(d / "paper.pdf").lstrip("/")
     assert len(docs) == 1
     spans = docs[0].spans
     seq = [(s.kind, s.text, s.media_ref) for s in spans]
     assert seq == [
         ("text", "First page about ENTITY_1.", ""),
-        ("image", "", "pdf://paper.pdf/obj7"),
+        ("image", "", f"pdf://{key}/obj7"),
         ("text", "Second page text.", ""),
     ]
     assert [s.offset for s in spans] == [0, 1, 2]
@@ -200,7 +203,8 @@ def test_read_pdf_media_extracts_jpeg(spark, tmp_path):
     os.makedirs(d)
     jpg = _write_pdf(str(d / "paper.pdf"))
     rows = read_pdf_media(spark, str(d)).collect()
+    key = str(d / "paper.pdf").lstrip("/")
     assert len(rows) == 1
-    assert rows[0].media_ref == "pdf://paper.pdf/obj7"
+    assert rows[0].media_ref == f"pdf://{key}/obj7"
     assert rows[0].mime == "image/jpeg"
     assert bytes(rows[0].content) == jpg
