@@ -120,7 +120,9 @@ def main() -> None:
         summarizer=summarizer,
         tokenizer=tokenizer,
     )
-    for name in ("entities", "edges", "triples"):
+    # chunks + media land next to the graph: the query path (scripts/
+    # query_job.py) needs the text units for context assembly
+    for name in ("entities", "edges", "triples", "chunks", "media_spans"):
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
     n = spark.read.parquet(os.path.join(args.output, "triples")).count()
     print(f"DONE triples={n} output={args.output}")
