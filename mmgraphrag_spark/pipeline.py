@@ -43,6 +43,8 @@ def run_pipeline(
     tokenizer=None,
     enhancer=None,
     media_bytes: DataFrame | None = None,
+    chunk_max_tokens: int = 1200,
+    chunk_overlap: int = 100,
 ) -> dict:
     """Returns {"chunks", "media_spans", "entities", "edges", "triples",
     "aliases", "mentions", ...} DataFrames (each a committed stage snapshot).
@@ -67,8 +69,16 @@ def run_pipeline(
     spans = S.explode_spans(documents)
     # ONE chunking pass, committed with content; everything downstream derives
     # from this snapshot (dedup window, slim fusion occurrences, J2 candidates)
+    # window sizes are config (reference S8: chunk_token_size /
+    # chunk_overlap_token_size, preprocessing.py:30-69 defaults 1200/100)
     chunk_rows = cp.stage(
-        "chunk_rows", S.chunk_occurrences(spans, tokenizer=tokenizer)
+        "chunk_rows",
+        S.chunk_occurrences(
+            spans,
+            max_tokens=chunk_max_tokens,
+            overlap=chunk_overlap,
+            tokenizer=tokenizer,
+        ),
     )
     # chunk dedup stays LAZY: the window runs inside its single heavy consumer
     # (the mentions stage) instead of paying a separate 2M-row materialization

@@ -57,6 +57,10 @@ def main() -> None:
     p.add_argument("--tokenizer", default="auto", choices=["auto", "regex"],
                    help="'auto' uses tiktoken when installed (P9), else the "
                         "regex fallback")
+    p.add_argument("--chunk-tokens", type=int, default=1200,
+                   help="chunk window size in tokens (reference chunk_token_size)")
+    p.add_argument("--chunk-overlap", type=int, default=100,
+                   help="window overlap in tokens (reference chunk_overlap_token_size)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -119,6 +123,8 @@ def main() -> None:
         judge_backend=judge,
         summarizer=summarizer,
         tokenizer=tokenizer,
+        chunk_max_tokens=args.chunk_tokens,
+        chunk_overlap=args.chunk_overlap,
     )
     # chunks + media land next to the graph: the query path (scripts/
     # query_job.py) needs the text units for context assembly

@@ -103,3 +103,67 @@ def test_pipeline_with_tokenizer_backend(spark, corpus, documents_df, pipeline_o
     got = {(r.subj, r.obj, r.weight) for r in out["triples"].collect()}
     exp = {(r.subj, r.obj, r.weight) for r in pipeline_out["triples"].collect()}
     assert got == exp
+
+
+def test_long_docs_multi_window_extraction_exact(spark):
+    """End-to-end over documents LONGER than one chunk window: sentences in
+    the overlap region are genuinely present in two chunks and must be
+    extracted twice (weight double-count — reference semantics: both chunks
+    contain the sentence); sentences split across a window boundary are lost
+    by BOTH engine and oracle identically. Exact (src, tgt, weight) equality
+    against a window-aware pure-python oracle, not just P/R."""
+    import hashlib
+    import re
+
+    from mmgraphrag_spark import datagen, schema
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    # deterministic long docs: 60 sentences each (~600 tokens)
+    def doc_text(d):
+        parts = []
+        for i in range(30):
+            k = (d * 31 + i) % 20
+            parts.append(datagen.mention_sentence(k, i % 4))
+            parts.append(datagen.relation_sentence(k, (k + 3) % 20, (i % 5) + 1, i % 4))
+        return " ".join(parts)
+
+    rows = [
+        (f"doc-{d}", [("text", doc_text(d), "", 0)]) for d in range(3)
+    ]
+    docs = spark.createDataFrame(rows, schema.DOCUMENTS)
+    max_tokens, overlap = 100, 20
+    out = run_pipeline(
+        spark, docs, chunk_max_tokens=max_tokens, chunk_overlap=overlap
+    )
+    got = {(r.src, r.tgt, r.weight) for r in out["edges"].collect()}
+
+    # window-aware oracle: same whitespace windows, dedup by content, same
+    # regex extraction, A2 weight sum over sorted pairs
+    step = max_tokens - overlap
+    seen, edges = set(), {}
+    for d in range(3):
+        toks = doc_text(d).split()
+        for s in range(0, max(len(toks), 1), step):
+            win = toks[s : s + max_tokens]
+            if not win:
+                continue
+            content = " ".join(win)
+            cid = hashlib.md5(content.encode()).hexdigest()
+            if cid in seen:
+                continue
+            seen.add(cid)
+            for m in datagen.RELATION_RE.finditer(content):
+                a, b, w = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                key = tuple(sorted([f'"ENTITY_{a}"', f'"ENTITY_{b}"']))
+                edges[key] = edges.get(key, 0.0) + float(w)
+    exp = {(s, t, w) for (s, t), w in edges.items()}
+    assert got == exp
+    # sanity: the overlap really duplicated something (otherwise this test
+    # proves nothing) — total oracle weight must exceed the single-count sum
+    single = {}
+    for d in range(3):
+        for m in datagen.RELATION_RE.finditer(doc_text(d)):
+            key = tuple(sorted([f'"ENTITY_{int(m.group(1))}"', f'"ENTITY_{int(m.group(2))}"']))
+            single[key] = single.get(key, 0.0) + float(m.group(3))
+    assert sum(edges.values()) > 0
+    assert sum(edges.values()) != sum(single.values())  # overlap had an effect
