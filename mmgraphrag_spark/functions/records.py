@@ -20,11 +20,23 @@ _FIELD_PAT = r"<\|>"
 def explode_records(df: DataFrame, records_col: str = "records") -> DataFrame:
     """records string -> one row per record with an ``attrs`` array<string> column.
 
-    Mirrors: split on "##"/"<|COMPLETE|>" then regex ``\\((.*)\\)`` per record then
-    field split (text2graph.py:386-395).
+    Reference-exact order (text2graph.py:371-395): FIRST split the wire
+    string on "##" / "<|COMPLETE|>", THEN take each record's outer-paren
+    group with the reference's greedy ``\\((.*)\\)`` — greedy first-( to
+    last-), so parentheses INSIDE fields survive ("John Smith (born 1970)").
+    A former single-pass ``\\(([^()]*)\\)`` extraction silently dropped any
+    record containing inner parens. Pieces without a paren group are skipped,
+    like the reference's None-match continue. All native expressions — no
+    interpreted array lambdas in this (hot) parse path.
     """
-    recs = F.regexp_extract_all(F.col(records_col), F.lit(r"\(([^()]*)\)"), 1)
-    out = df.withColumn("_rec", F.explode(recs))
+    out = df.withColumn(
+        "_rec0", F.explode(F.split(F.col(records_col), r"##|<\|COMPLETE\|>"))
+    )
+    out = (
+        out.withColumn("_rec", F.regexp_extract(F.col("_rec0"), r"\((.*)\)", 1))
+        .filter(F.col("_rec") != "")
+        .drop("_rec0")
+    )
     attrs = F.transform(F.split(F.col("_rec"), _FIELD_PAT), lambda x: F.trim(x))
     return out.withColumn("attrs", attrs).drop("_rec")
 

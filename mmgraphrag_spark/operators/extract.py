@@ -101,7 +101,12 @@ def extract_mentions(
         misses = keyed.join(
             llm_cache, keyed._h == llm_cache.args_hash, "left_anti"
         ).select("chunk_id", "doc_id", "content")
-        return hits.unionByName(misses.mapInPandas(backend.map_batches, schema))
+        # re-pin AFTER the anti-join: the join exchange destroys src's
+        # repartition and AQE may coalesce the (small) miss side to 1-2
+        # partitions — serializing the expensive LLM-calling stage
+        return hits.unionByName(
+            misses.repartition(n_parts).mapInPandas(backend.map_batches, schema)
+        )
     return src.mapInPandas(backend.map_batches, schema)
 
 def parse_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:

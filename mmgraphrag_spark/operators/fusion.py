@@ -745,19 +745,27 @@ def alias_map(pairs: DataFrame, entities: DataFrame) -> DataFrame:
     deterministic, replacing the reference's order-dependent sequential fold
     (fusion.py:1004-1020; deviation documented in SURVEY §4).
     """
-    # Fast path: the judge emits one canonical per alias (a functional map).
-    # When no alias also appears as a canonical, the graph is a union of stars
-    # and CC would converge after one round — skip the iterative loop (saves
-    # ~6 driver actions; matters because alias maps are tiny but the loop's
-    # per-round overhead is fixed). Chained/merged groups take the full loop.
-    chained = (
+    # Fast path: valid only when the pairs form a union of DISJOINT stars —
+    # (a) no canonical also appears as an alias (no chains) AND (b) no alias
+    # maps to two different canonicals (an alias with two canonicals merges
+    # BOTH stars into one component, which the star shortcut would wrongly
+    # split). Both conditions probe in ONE driver action. Anything else takes
+    # the full CC loop.
+    non_star = (
         pairs.select(F.col("canonical").alias("x"))
         .join(pairs.select(F.col("alias").alias("x")), "x", "left_semi")
+        .select(F.lit(1).alias("one"))
+        .unionAll(
+            pairs.groupBy("alias")
+            .agg(F.count_distinct("canonical").alias("c"))
+            .filter(F.col("c") > 1)
+            .select(F.lit(1).alias("one"))
+        )
         .limit(1)
         .count()
         > 0
     )
-    if not chained:
+    if not non_star:
         comp = (
             pairs.select(F.col("alias").alias("entity_name"), F.col("canonical").alias("component"))
             .unionByName(

@@ -135,8 +135,12 @@ def recompress_media(
                     enc = pil_jpeg_encoder(bytes(content))
                     data, _, _ = recompress_to_size(enc, target_size_bytes)
                     out_content.append(data)
-                except ImportError:
-                    out_content.append(bytes(content))  # no PIL: pass through
+                except Exception:
+                    # no PIL, OR an undecodable/corrupt blob (PDF XObjects are
+                    # not always valid images): keep the original bytes — the
+                    # reference logs a warning and keeps the file; one bad
+                    # blob must never fail the whole job
+                    out_content.append(bytes(content))
             pdf = pdf.copy()
             pdf["content"] = out_content
             yield pdf

@@ -133,8 +133,14 @@ def detect_scene_objects(media_spans: DataFrame, backend=None) -> DataFrame:
     gated = media_spans
     if "segmentation" in media_spans.columns:
         gated = media_spans.filter(F.col("segmentation"))
-    return gated.select("media_ref", "caption").mapInPandas(
-        backend.map_batches, schema
+    # pin partitions before the python stage (CLAUDE.md rule 3): the media
+    # snapshot often arrives AQE-coalesced to 1-2 partitions, which would
+    # serialize a real detection backend
+    n_parts = media_spans.sparkSession.sparkContext.defaultParallelism
+    return (
+        gated.select("media_ref", "caption")
+        .repartition(n_parts, "media_ref")
+        .mapInPandas(backend.map_batches, schema)
     )
 
 def scene_graph(

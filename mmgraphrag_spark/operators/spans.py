@@ -101,6 +101,11 @@ def _windowed_chunk_rows(
     regexp_replace + regexp_count instead of building the token array was
     tried and is ~60% SLOWER on the JVM — split + slice + join beats two
     full regex passes. Keep the array formulation."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"chunk overlap ({overlap}) must be smaller than the window "
+            f"({max_tokens}) — a non-positive step would loop or emit nothing"
+        )
     step = max_tokens - overlap
     t = (
         spans.filter(F.col("kind") == "text")
@@ -192,6 +197,11 @@ def _chunk_rows_tokenized(
 ) -> DataFrame:
     import pandas as pd
 
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"chunk overlap ({overlap}) must be smaller than the window "
+            f"({max_tokens}) — a non-positive step would loop or emit nothing"
+        )
     step = max_tokens - overlap
     cleaned = (
         spans.filter(F.col("kind") == "text")

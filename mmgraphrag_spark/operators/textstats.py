@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mmgraphrag_spark.functions import bpe_ish_token_count, whitespace_token_count
-from mmgraphrag_spark.operators.dedup import word_shingles
+from mmgraphrag_spark.operators.dedup import word_shingles, word_tokens
 
 # marker stopwords per language (tiny n-gram/stopword-heuristic profiles)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -62,7 +62,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_chars = F.length(t)
     n_tokens = whitespace_token_count(t)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
-    toks = F.split(F.trim(F.lower(F.regexp_replace(t, r"[^a-z0-9 ]", " "))), r" +")
+    # lowercase BEFORE stripping non-[a-z0-9 ] (the former strip-then-lower
+    # order deleted uppercase letters entirely, silently diverging from the
+    # DuckDB oracle's _TOKS on any mixed-case text); reuse the one shared
+    # tokenization so Spark and oracle can never drift again
+    toks = word_tokens(t)
     en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
     mean_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus separators

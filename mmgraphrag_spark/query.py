@@ -105,12 +105,14 @@ def node_degrees(edges: DataFrame) -> DataFrame:
 
 
 def seed_entities(
-    entities: DataFrame, edges: DataFrame, ann: DataFrame
+    entities: DataFrame, edges: DataFrame, ann: DataFrame, degrees: DataFrame | None = None
 ) -> DataFrame:
-    """J10: rehydrate ANN hits with node attrs + degree (query.py:239-253)."""
+    """J10: rehydrate ANN hits with node attrs + degree (query.py:239-253).
+    Pass precomputed ``degrees`` when the caller needs them elsewhere too —
+    node_degrees is a full edge scan + shuffle."""
     return (
         ann.join(entities, "entity_name")
-        .join(node_degrees(edges), "entity_name", "left")
+        .join(degrees if degrees is not None else node_degrees(edges), "entity_name", "left")
         .fillna(0, subset=["degree"])
         .select("entity_name", "entity_type", "description", "source_ids", "sim", "rnk", "degree")
     )
@@ -176,11 +178,14 @@ def related_text_units(
 
 
 def related_edges(
-    seeds: DataFrame, edges: DataFrame, budget_tokens: int = 6000
+    seeds: DataFrame,
+    edges: DataFrame,
+    budget_tokens: int = 6000,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """W5 + A10 (query.py:157-209): all seed edges ranked by (edge degree,
     weight) desc, token-truncated."""
-    deg = node_degrees(edges)
+    deg = degrees if degrees is not None else node_degrees(edges)
     s = F.broadcast(seeds.select("entity_name"))
     seed_edges = (
         edges.join(
@@ -290,9 +295,12 @@ def local_query(
         vdb = build_entity_vdb(entities, backend=embed_backend).localCheckpoint()
     qv = embed_backend.embed([question])[0]
     ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold).localCheckpoint()
-    seeds = seed_entities(entities, edges, ann).localCheckpoint()
+    # degrees are a full edge scan + shuffle consumed by BOTH the seed
+    # rehydration and the edge ranking — compute once per query
+    degrees = node_degrees(edges).localCheckpoint()
+    seeds = seed_entities(entities, edges, ann, degrees=degrees).localCheckpoint()
     text_units = related_text_units(seeds, entities, edges, chunks)
-    edge_rows = related_edges(seeds, edges)
+    edge_rows = related_edges(seeds, edges, degrees=degrees)
     context = assemble_context(seeds.orderBy("rnk"), text_units, edge_rows)
     backend = answerer or TemplateAnswerer()
     answer = backend.answer(question, context)

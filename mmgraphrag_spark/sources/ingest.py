@@ -100,9 +100,16 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
 def _collect_documents(flat: DataFrame) -> DataFrame:
     """(doc_id, pord, sord, kind, text, media_ref) -> documents(doc_id, spans)
     with per-doc offsets in (pord, sord) order. Shared by every front-end
-    (markdown, DOCX, ...) — one window shuffle on doc_id."""
+    (markdown, DOCX, ...) — one window shuffle on doc_id.
+
+    Rows are deduplicated on (doc_id, pord, sord) first: content-identical
+    FILES intentionally share a doc_id (same text + same media refs = the
+    same document), and without the dedup their span rows would interleave
+    into one doubled, offset-corrupted doc."""
     w = Window.partitionBy("doc_id").orderBy("pord", "sord")
-    d = flat.withColumn("offset", F.row_number().over(w) - 1)
+    d = flat.dropDuplicates(["doc_id", "pord", "sord"]).withColumn(
+        "offset", F.row_number().over(w) - 1
+    )
     spans = F.collect_list(
         F.struct(
             F.col("kind").alias("kind"),

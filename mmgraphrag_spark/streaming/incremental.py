@@ -86,9 +86,12 @@ class IncrementalIndexer:
     def _load(self, version: int, name: str) -> DataFrame | None:
         if version < 0:
             return None
-        return self.spark.read.parquet(
-            os.path.join(self.state_dir, f"state_v{version}", name)
-        )
+        p = os.path.join(self.state_dir, f"state_v{version}", name)
+        # tolerate state tables that older versions didn't write (e.g.
+        # seen_media added later): absent table == empty prior state
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
 
     def _commit(self, version: int, tables: dict, batch_id: int = -1) -> None:
         root = os.path.join(self.state_dir, f"state_v{version}")
@@ -125,8 +128,17 @@ class IncrementalIndexer:
 
         mentions = X.extract_mentions(new_chunks, backend=self.extractor)
         ents_m, rels_m = X.parse_mentions(mentions)
-        objects = SC.detect_scene_objects(media, backend=self.scene_backend)
-        img_ents_m, img_rels_m = SC.scene_graph(media, objects)
+        # J1 for the MEDIA side too: a re-delivered document's text chunks are
+        # anti-joined away by seen_chunks, but its media spans would re-run
+        # scene detection and double-sum entity cnt / containment weights —
+        # guard media occurrences by their (doc, ref, position) key
+        mkeys = ["doc_id", "media_ref", "chunk_order_index"]
+        seen_m = self._load(v, "seen_media")
+        new_media = (
+            media.join(seen_m, mkeys, "left_anti") if seen_m is not None else media
+        ).localCheckpoint()
+        objects = SC.detect_scene_objects(new_media, backend=self.scene_backend)
+        img_ents_m, img_rels_m = SC.scene_graph(new_media, objects)
 
         d_ent = _entity_state(ents_m.unionByName(img_ents_m))
         d_edge = _edge_state(rels_m.unionByName(img_rels_m))
@@ -157,9 +169,19 @@ class IncrementalIndexer:
             if seen is not None
             else chunks.select("chunk_id").distinct()
         )
+        seen_m_next = (
+            seen_m.unionByName(new_media.select(*mkeys)).distinct()
+            if seen_m is not None
+            else media.select(*mkeys).distinct()
+        )
         self._commit(
             v + 1,
-            {"entity_state": d_ent, "edge_state": d_edge, "seen_chunks": seen_next},
+            {
+                "entity_state": d_ent,
+                "edge_state": d_edge,
+                "seen_chunks": seen_next,
+                "seen_media": seen_m_next,
+            },
             batch_id=batch_id,
         )
 

@@ -87,3 +87,30 @@ def test_token_counts(spark):
     ).first()
     assert r.w == 3
     assert r.b == 3
+
+
+def test_records_with_inner_parentheses_survive(spark):
+    """Reference parses each ##-split record with a GREEDY paren regex, so
+    parentheses INSIDE fields survive — a record like 'John Smith (born
+    1970)' must not be dropped (the old single-pass [^()]* extraction lost
+    it entirely)."""
+    from mmgraphrag_spark.functions.records import (
+        explode_records,
+        parse_entity_records,
+        parse_relationship_records,
+    )
+
+    wire = (
+        '("entity"<|>"JOHN SMITH"<|>"PERSON"<|>John Smith (born 1970) teaches)##'
+        '("relationship"<|>"JOHN SMITH"<|>"MIT"<|>works (since 2001) at<|>3)'
+        "<|COMPLETE|>"
+    )
+    df = spark.createDataFrame([("c1", wire)], ["chunk_id", "records"])
+    recs = explode_records(df)
+    ents = parse_entity_records(recs).collect()
+    rels = parse_relationship_records(recs).collect()
+    assert len(ents) == 1
+    assert ents[0].description == "John Smith (born 1970) teaches"
+    assert len(rels) == 1
+    assert rels[0].description == "works (since 2001) at"
+    assert rels[0].weight == 3.0

@@ -208,3 +208,38 @@ def test_read_pdf_media_extracts_jpeg(spark, tmp_path):
     assert rows[0].media_ref == f"pdf://{key}/obj7"
     assert rows[0].mime == "image/jpeg"
     assert bytes(rows[0].content) == jpg
+
+
+def test_identical_files_collapse_to_one_clean_doc(spark, tmp_path):
+    """Two byte-identical files share a doc_id AND their span rows dedupe —
+    the result is ONE document with correct offsets, not a doubled one."""
+    from mmgraphrag_spark.sources.ingest import read_markdown_dir
+
+    d = tmp_path / "dup"
+    os.makedirs(d)
+    text = "Alpha paragraph.\n\n![fig](img://x/0)\n\nOmega paragraph."
+    (d / "a.md").write_text(text)
+    (d / "b.md").write_text(text)
+    docs = read_markdown_dir(spark, str(d)).collect()
+    assert len(docs) == 1
+    spans = docs[0].spans
+    assert [s.offset for s in spans] == [0, 1, 2]
+    assert [s.kind for s in spans] == ["text", "image", "text"]
+
+
+def test_chunk_overlap_must_be_smaller_than_window(spark):
+    import pytest as _pytest
+
+    from mmgraphrag_spark.operators.spans import chunk_occurrences
+    from mmgraphrag_spark.backends.tokenizer import RegexTokenizerBackend
+
+    spans = spark.createDataFrame(
+        [("d1", 0, "text", "some words here", "", 0)],
+        ["doc_id", "span_pos", "kind", "text", "media_ref", "offset"],
+    )
+    with _pytest.raises(ValueError):
+        chunk_occurrences(spans, max_tokens=100, overlap=100)
+    with _pytest.raises(ValueError):
+        chunk_occurrences(
+            spans, max_tokens=100, overlap=150, tokenizer=RegexTokenizerBackend()
+        )

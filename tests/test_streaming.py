@@ -199,3 +199,34 @@ def test_running_source_totals_stateful(spark, tmp_path):
     assert ("web", 2, 2) in rows   # batch 0
     assert ("web", 3, 1) in rows   # batch 1 accumulates prior state
     assert ("pdf", 1, 1) in rows
+
+
+def test_redelivered_media_not_double_counted(spark, tmp_path):
+    """A document re-delivered in a LATER batch (new batch_id, so the replay
+    guard passes): text chunks are anti-joined by seen_chunks AND media spans
+    by seen_media — scene entities/containment weights must not double."""
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", [
+                ("text", "ENTITY_1 is a PERSON associated with topic_0.", "", 0),
+                ("image", "Figure: ENTITY_1.", "img://d1/0", 1),
+            ]),
+        ],
+        schema.DOCUMENTS,
+    )
+    once = IncrementalIndexer(spark, str(tmp_path / "s1"))
+    once.process_batch(docs, 0)
+    e1, g1 = once.finalize()
+    base_e = {r.entity_name: r.description for r in e1.collect()}
+    base_w = {(r.src, r.tgt): r.weight for r in g1.collect()}
+
+    twice = IncrementalIndexer(spark, str(tmp_path / "s2"))
+    twice.process_batch(docs, 0)
+    twice.process_batch(docs, 1)  # re-delivery under a NEW batch id
+    e2, g2 = twice.finalize()
+    got_e = {r.entity_name: r.description for r in e2.collect()}
+    got_w = {(r.src, r.tgt): r.weight for r in g2.collect()}
+    assert got_e == base_e
+    assert got_w == base_w  # weight-10 containment edge NOT summed to 20
