@@ -148,6 +148,18 @@ def salvage_json_list(output: str) -> list:
     return out
 
 
+def _with_image_part(text: str, image_b64: str | None):
+    """OpenAI multimodal content: plain string without an image, else a
+    [text, image_url] part list with the full base64 as a data: URI."""
+    if not image_b64:
+        return text
+    return [
+        {"type": "text", "text": text},
+        {"type": "image_url",
+         "image_url": {"url": f"data:image/jpeg;base64,{image_b64}"}},
+    ]
+
+
 class MllmDescriber:
     """L3 image description + segmentation gate (reference
     pdf2md_preprocessing.py:177-198 get_image_description): one MLLM call per
@@ -157,9 +169,10 @@ class MllmDescriber:
     ("No description.", False). The segmentation flag gates whether object
     detection runs for that image (operators.scene.detect_scene_objects).
 
-    Image bytes ride as base64 when available; this client is text-protocol
-    (OpenAI-compatible), so the payload shape matches the reference's
-    multimodel_if_cache call."""
+    Image bytes ride as an OpenAI-style image_url content part (data: URI
+    carrying the FULL base64) when available, matching the reference's
+    multimodel_if_cache payload shape — a real multimodal endpoint receives
+    the actual image, not a text placeholder."""
 
     def __init__(self, client: ChatClient):
         self.client = client
@@ -168,9 +181,8 @@ class MllmDescriber:
         import re as _re
 
         msg = prompts.IMAGE_DESCRIPTION + f"\n\nCaption: {caption}\nContext: {context}"
-        if image_b64:
-            msg += f"\n[image/base64] {image_b64[:64]}..."
-        result = self.client.complete([{"role": "user", "content": msg}])
+        content = _with_image_part(msg, image_b64)
+        result = self.client.complete([{"role": "user", "content": content}])
         dm = _re.search(r'"description": "([^"]*)"', result)
         sm = _re.search(r'"segmentation": (\w+)', result)
         description = dm.group(1) if dm else "No description."
@@ -227,11 +239,16 @@ class LLMAnswerer:
               "content": prompts.RAG_ANSWER.format(context=context, question=question)}]
         ).strip()
 
-    def answer_image(self, question: str, media_ref: str, context: str) -> str:
+    def answer_image(
+        self, question: str, media_ref: str, context: str, image_b64: str | None = None
+    ) -> str:
         msg = prompts.MM_ANSWER.format(
             image_information=media_ref, context=context, question=question
         )
-        return self.client.complete([{"role": "user", "content": msg}]).strip()
+        # image bytes travel as a full-b64 image_url part (reference
+        # query.py:434-436 sends the base64 content, not just the ref)
+        content = _with_image_part(msg, image_b64)
+        return self.client.complete([{"role": "user", "content": content}]).strip()
 
     def merge(self, question: str, answers: list[str]) -> str:
         if len(answers) <= 1:

@@ -162,9 +162,9 @@ def kmeans_fit(
     friendly, no vector collect_list). Lineage is cut per round
     (localCheckpoint) so Catalyst never re-analyzes the unrolled loop.
     Returns (label, centroid)."""
-    # unpartitioned window is fine HERE: it runs over exactly k rows (post
-    # limit), not the corpus — Spark's single-partition warning is expected
-    w = Window.orderBy(id_col)
+    # single-partition window is fine HERE: it runs over exactly k rows (post
+    # limit), not the corpus — partitionBy(lit) marks that as intentional
+    w = Window.partitionBy(F.lit(1)).orderBy(id_col)
     init = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col)

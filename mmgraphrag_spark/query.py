@@ -77,23 +77,79 @@ def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
 # retrieval
 # ---------------------------------------------------------------------------
 
+def _rank_bounded(scored: DataFrame, top_k: int) -> DataFrame:
+    """Rank <= top_k pre-limited rows. partitionBy(lit) marks the single
+    partition as INTENTIONAL (the input is bounded by construction) — same
+    plan as an unpartitioned window, without tripping Spark's
+    "No Partition Defined" scale warning on a k-row input."""
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.asc("entity_name"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .select("entity_name", F.col("sim"), "rnk")
+    )
+
+
 def ann_entities(
     vdb: DataFrame,
     query_vec: list[float],
     top_k: int = 10,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """J9/W6: cosine >= threshold, top_k by similarity (storage.py:298-323)."""
+    """J9/W6: cosine >= threshold, top_k by similarity (storage.py:298-323).
+
+    This is THE per-query hot path — at 100x entities a global row_number
+    window would move every above-threshold row to one partition. Instead
+    orderBy + limit plans as TakeOrderedAndProject (per-partition top-k,
+    k-row merge), fully distributed; only the <= top_k survivors are ranked.
+    """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = vdb.withColumn("sim", cosine_similarity_col(F.col("vec"), q)).filter(
         F.col("sim") >= threshold
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("entity_name"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
-        .select("entity_name", "sim", "rnk")
+    top = scored.orderBy(F.desc("sim"), F.asc("entity_name")).limit(top_k)
+    return _rank_bounded(top, top_k)
+
+
+def ann_entities_approx(
+    vdb: DataFrame,
+    query_vec: list[float],
+    top_k: int = 10,
+    threshold: float = 0.2,
+    mode: str = "lsh",
+    n_bits: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Scale-path ANN over the entity VDB: route the single query vector
+    through similarity.lsh_topk (sign-bit multi-probe buckets) or
+    similarity.ivf_topk (k-means inverted file) instead of scanning the full
+    VDB. Same output shape as ann_entities; approximate recall (asserted vs
+    exact in tests). Raise n_bits / n_centroids as the VDB grows — the plan
+    shape is unchanged (bounded bucket equi-join)."""
+    from mmgraphrag_spark.operators import similarity as SIM
+
+    spark = vdb.sparkSession
+    corpus = vdb.select(
+        F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
     )
+    qdf = spark.createDataFrame(
+        [("__query__", [float(x) for x in query_vec])],
+        "vec_id string, embedding array<double>",
+    )
+    if mode == "lsh":
+        hits = SIM.lsh_topk(corpus, qdf, k=top_k, n_bits=n_bits)
+    elif mode == "ivf":
+        hits = SIM.ivf_topk(
+            corpus, qdf, k=top_k, n_centroids=n_centroids, n_probe=n_probe
+        )
+    else:
+        raise ValueError(f"unknown ann mode: {mode!r}")
+    scored = hits.select(
+        F.col("neighbor_id").alias("entity_name"), F.col("cosine").alias("sim")
+    ).filter(F.col("sim") >= threshold)
+    # hits are already <= top_k per query; re-rank after the threshold cut so
+    # rnk stays dense (1..n) like the exact path
+    return _rank_bounded(scored, top_k)
 
 
 def node_degrees(edges: DataFrame) -> DataFrame:
@@ -163,7 +219,13 @@ def related_text_units(
         .agg(F.min("rnk").alias("order"), F.max("relation_counts").alias("relation_counts"))
         .join(chunks.select("chunk_id", "content", "tokens"), "chunk_id")
     )
-    w = Window.orderBy(F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id"))
+    # single-partition window is intentional and safe: the input is bounded
+    # by construction (top_k seeds x their cited chunks, not the corpus), and
+    # the running token sum is inherently sequential. partitionBy(lit)
+    # documents that — no "No Partition Defined" scale warning.
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id")
+    )
     cum = (
         ranked.withColumn("_rn", F.row_number().over(w))
         .withColumn(
@@ -197,7 +259,11 @@ def related_edges(
         .join(deg.withColumnRenamed("entity_name", "tgt").withColumnRenamed("degree", "dtgt"), "tgt")
         .withColumn("edge_rank", F.col("dsrc") + F.col("dtgt"))
     )
-    w = Window.orderBy(F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt"))
+    # bounded input (seed edges only) + sequential budget sum: intentional
+    # single partition, marked with partitionBy(lit) as in related_text_units
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt")
+    )
     toks = F.size(F.split(F.col("description"), r"\s+"))
     return (
         seed_edges.withColumn("_tok", toks)
@@ -243,10 +309,14 @@ class TemplateAnswerer:
         top = context.splitlines()[2] if len(context.splitlines()) > 2 else ""
         return f"Q: {question}\nTop evidence: {top}"
 
-    def answer_image(self, question: str, media_ref: str, context: str) -> str:
-        """L12: per-image multimodal answer (stubbed: would send the image
-        bytes + context to an MLLM)."""
-        return f"[image {media_ref}] relevant to: {question}"
+    def answer_image(
+        self, question: str, media_ref: str, context: str, image_b64: str | None = None
+    ) -> str:
+        """L12: per-image multimodal answer (stubbed: an MLLM backend sends
+        the base64 image bytes as an image_url content part — see
+        backends.llm.LLMAnswerer)."""
+        tag = " +bytes" if image_b64 else ""
+        return f"[image {media_ref}{tag}] relevant to: {question}"
 
     def merge(self, question: str, answers: list[str]) -> str:
         """L13: multi-answer merge."""
@@ -271,6 +341,40 @@ def log_query(spark: SparkSession, log_dir: str, question: str, context: str,
     ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(log_dir)
 
 
+def _mm_image_payloads(
+    seeds: DataFrame, media: DataFrame | None, limit: int = 3
+) -> list[tuple[str, str | None]]:
+    """W7 + the reference's base64 image hand-off (query.py:434-436): the
+    ranked ORI_IMG seeds joined to the media table by their non-chunk
+    source_ids -> [(entity_name, image_b64 | None)]. The join side is <=
+    ``limit`` entities -> broadcast against the media scan."""
+    import base64
+
+    base = multimodal_entities(seeds, limit=limit).select(
+        "entity_name", "rnk", "source_ids"
+    ).localCheckpoint()  # <= limit rows; reused by both branches below
+    if media is None:
+        return [(r.entity_name, None) for r in base.orderBy("rnk").collect()]
+    refs = base.select(
+        "entity_name", F.explode("source_ids").alias("media_ref")
+    ).filter(~F.col("media_ref").startswith("chunk-"))
+    joined = (
+        F.broadcast(refs)
+        .join(media.select("media_ref", "content"), "media_ref")
+        .groupBy("entity_name")
+        .agg(F.min("content").alias("content"))
+    )
+    by_name = {
+        r.entity_name: bytes(r.content) for r in joined.collect() if r.content is not None
+    }
+    return [
+        (r.entity_name,
+         base64.b64encode(by_name[r.entity_name]).decode()
+         if r.entity_name in by_name else None)
+        for r in base.orderBy("rnk").collect()
+    ]
+
+
 def local_query(
     spark: SparkSession,
     kg: dict,
@@ -281,12 +385,19 @@ def local_query(
     vdb: DataFrame | None = None,
     log_dir: str | None = None,
     embed_backend=None,
+    ann_mode: str = "exact",
+    media: DataFrame | None = None,
 ) -> dict:
     """End-to-end local query over a run_pipeline() output dict.
 
     ``embed_backend`` (backends/embeddings.py) embeds BOTH the VDB and the
     question — they must share a space for the cosine ranking to mean
-    anything. Returns {"seeds", "text_units", "edges", "context", "answer"}."""
+    anything. ``ann_mode`` picks the VDB ranking plan: "exact" (distributed
+    top-k full scan — the correctness baseline), "lsh" or "ivf" (bucketed
+    approximate scans for VDBs too large to scan per query). ``media`` is an
+    optional (media_ref, content binary) table; when given, ranked ORI_IMG
+    seeds carry their base64 image bytes into the multimodal answer branch.
+    Returns {"seeds", "text_units", "edges", "context", "answer"}."""
     from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
 
     entities, edges, chunks = kg["entities"], kg["edges"], kg["chunks"]
@@ -294,7 +405,11 @@ def local_query(
     if vdb is None:
         vdb = build_entity_vdb(entities, backend=embed_backend).localCheckpoint()
     qv = embed_backend.embed([question])[0]
-    ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold).localCheckpoint()
+    if ann_mode == "exact":
+        ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold)
+    else:
+        ann = ann_entities_approx(vdb, qv, top_k=top_k, threshold=threshold, mode=ann_mode)
+    ann = ann.localCheckpoint()
     # degrees are a full edge scan + shuffle consumed by BOTH the seed
     # rehydration and the edge ranking — compute once per query
     degrees = node_degrees(edges).localCheckpoint()
@@ -305,13 +420,14 @@ def local_query(
     backend = answerer or TemplateAnswerer()
     answer = backend.answer(question, context)
     # multimodal branch (query.py:402-468): if ORI_IMG entities ranked, answer
-    # per image (<=3, W7) and merge with the text answer (L12/L13)
-    mm = [
-        r.entity_name for r in multimodal_entities(seeds).collect()
-    ]
+    # per image (<=3, W7) with the image bytes attached when a media table is
+    # available (query.py:434-436 sends base64 content) and merge (L12/L13)
+    payloads = _mm_image_payloads(seeds, media)
+    mm = [name for name, _ in payloads]
     if mm:
         img_answers = [
-            backend.answer_image(question, name, context) for name in mm
+            backend.answer_image(question, name, context, image_b64=b64)
+            for name, b64 in payloads
         ]
         answer = backend.merge(question, [answer] + img_answers)
     if log_dir:

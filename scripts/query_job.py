@@ -27,6 +27,14 @@ def main() -> None:
     p.add_argument("--question", required=True)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.2)
+    p.add_argument("--ann-mode", default="exact", choices=["exact", "lsh", "ivf"],
+                   help="entity-VDB ranking plan: exact distributed top-k "
+                        "(default), or the LSH / IVF bucketed scans for VDBs "
+                        "too large to scan per query")
+    p.add_argument("--media", default=None,
+                   help="(media_ref, content binary) parquet table; defaults "
+                        "to <kg>/media when present. Ranked ORI_IMG seeds "
+                        "carry base64 image bytes into the multimodal answer")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--llm-base-url", default=None)
     p.add_argument("--llm-api-key", default=os.environ.get("OPENAI_API_KEY", ""))
@@ -47,6 +55,12 @@ def main() -> None:
         name: spark.read.parquet(os.path.join(args.kg, name))
         for name in ("entities", "edges", "chunks")
     }
+    media_path = args.media or os.path.join(args.kg, "media")
+    media = (
+        spark.read.parquet(media_path)
+        if os.path.isdir(media_path)
+        else None
+    )
     answerer = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer
@@ -62,6 +76,8 @@ def main() -> None:
         threshold=args.threshold,
         answerer=answerer,
         log_dir=args.log_dir,
+        ann_mode=args.ann_mode,
+        media=media,
     )
     print("ANSWER:")
     print(out["answer"])

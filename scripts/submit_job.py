@@ -41,6 +41,10 @@ def main() -> None:
                    choices=["neighborhood", "lsh", "embedding"])
     p.add_argument("--doc-partitions", type=int, default=None)
     p.add_argument("--max-block", type=int, default=2000)
+    p.add_argument("--media-bytes", default=None,
+                   help="(media_ref, content binary) parquet table: feeds the "
+                        "describer (L3) and is copied to <output>/media so "
+                        "query_job's multimodal answers can attach image bytes")
     p.add_argument("--derive-interleaved", action="store_true",
                    help="input is a flat (doc_id, text) corpus; derive the "
                         "interleaved spans table deterministically")
@@ -112,10 +116,12 @@ def main() -> None:
 
         tokenizer = RegexTokenizerBackend()
 
+    media_bytes = spark.read.parquet(args.media_bytes) if args.media_bytes else None
     out = run_pipeline(
         spark,
         docs,
         extractor=extractor,
+        media_bytes=media_bytes,
         doc_partitions=args.doc_partitions,
         max_block=args.max_block,
         blocking=args.blocking,
@@ -130,6 +136,8 @@ def main() -> None:
     # query_job.py) needs the text units for context assembly
     for name in ("entities", "edges", "triples", "chunks", "media_spans"):
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+    if media_bytes is not None:
+        media_bytes.write.mode("overwrite").parquet(os.path.join(args.output, "media"))
     n = spark.read.parquet(os.path.join(args.output, "triples")).count()
     print(f"DONE triples={n} output={args.output}")
     spark.stop()

@@ -125,12 +125,20 @@ def test_describe_media_ships_base64_bytes(spark):
         [("img://a/0", bytearray(blob))], ["media_ref", "content"]
     )
 
+    want_url = "data:image/jpeg;base64," + base64.b64encode(blob).decode()
+
     class B64EchoTransport:
         def __call__(self, url, headers, payload):
             import json as _json
 
             msg = payload["messages"][-1]["content"]
-            seen = "withimg" if "[image/base64]" in msg else "noimg"
+            # with bytes: an OpenAI-style [text, image_url] part list whose
+            # data: URI carries the FULL base64 — not a truncated placeholder
+            seen = "withimg" if (
+                isinstance(msg, list)
+                and any(p.get("type") == "image_url"
+                        and p["image_url"]["url"] == want_url for p in msg)
+            ) else "noimg"
             return _json.dumps({"choices": [{"message": {"content":
                 '{"description": "%s", "segmentation": false}' % seen}}]})
 
