@@ -534,9 +534,13 @@ def _q_j10_rehydrate(spark, sf_dir):
             (F.col("uid") % 100 / 100.0).alias("sim"),
         )
         .withColumn(
+            # bounded synthetic seed list -> intentional single partition
+            # (non-foldable constant key; a plain lit gets optimized away)
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.desc("sim"), F.asc("entity_name"))
+                Window.partitionBy(F.length("entity_name") * 0).orderBy(
+                    F.desc("sim"), F.asc("entity_name")
+                )
             ),
         )
     )
@@ -647,8 +651,11 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
-    """Rows-only check: sign-bit LSH approximate top-k (recall vs brute force
-    is asserted in pytest; approximate result has no exact SQL oracle)."""
+    """Sign-bit LSH approximate top-k — EXACT oracle: the candidate set is
+    closed-form (buckets within Hamming distance 1 of the query's bucket,
+    i.e. the multi-probe flip set) and the within-probe ranking is plain
+    cosine, so DuckDB reproduces the whole operator. Recall vs brute force
+    is additionally asserted in pytest."""
     from mmgraphrag_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
@@ -672,6 +679,63 @@ def _q_ivf_topk(spark, sf_dir):
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
+def _q_w7_mm_limit(spark, sf_dir):
+    """W7 (reference query.py:414-420): keep the first number_of_mmentities
+    (=3) ORI_IMG seeds by rank — the multimodal-answer gate, over a seed set
+    synthesized deterministically from events."""
+    from pyspark.sql import Window
+
+    from mmgraphrag_spark.query import multimodal_entities
+
+    ev = _events(spark, sf_dir)
+    seeds = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("uid")).alias("entity_name"),
+            F.when(F.col("uid") % 3 == 0, F.lit('"ORI_IMG"'))
+            .otherwise(F.lit('"PERSON"'))
+            .alias("entity_type"),
+        )
+        .withColumn(
+            # global seed ranking over a bounded distinct-user list ->
+            # intentional single partition (non-foldable constant key)
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(F.length("entity_name") * 0).orderBy(
+                    F.asc("entity_name")
+                )
+            ),
+        )
+    )
+    return multimodal_entities(seeds, limit=3).select(
+        "entity_name", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+def _q_p8_cache_hits(spark, sf_dir):
+    """P8 + J17: md5-of-serialized-args cache key (base.py:100-101) and the
+    hit/miss routing join — a cache holding every third document's hash is
+    probed by the full corpus."""
+    from mmgraphrag_spark.functions import args_hash
+
+    flat = _flat(spark, sf_dir)
+    keyed = flat.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        args_hash(F.col("text")).alias("args_hash"),
+    )
+    cache = (
+        flat.filter(F.col("doc_id") % 3 == 0)
+        .select(args_hash(F.col("text")).alias("args_hash"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        keyed.join(F.broadcast(cache), "args_hash", "left")
+        .select("id", "args_hash", F.coalesce("hit", F.lit(False)).alias("hit"))
     )
 
 
@@ -717,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "w7_mm_limit": _q_w7_mm_limit,
+        "p8_cache_hits": _q_p8_cache_hits,
     }
 
 
@@ -1174,6 +1240,63 @@ s AS (
   FROM u GROUP BY 1, 2
 )
 SELECT a, b, round(cosine, 4) AS cosine FROM s WHERE cosine >= 0.35
+"""
+
+    # exact oracle for the multi-probe LSH top-k: candidates = corpus vectors
+    # whose sign-bit bucket is within Hamming distance 1 of the query's
+    # bucket (exactly the flip set lsh_topk probes), ranked by exact cosine
+    sql["lsh_ann_topk"] = """
+WITH bk AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN x >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+          FROM (SELECT unnest(embedding[1:8]) AS x,
+                       generate_subscripts(embedding[1:8], 1) AS i)) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM bk WHERE vec_id < 5),
+c AS (SELECT vec_id AS nid, embedding AS ce, bucket AS cb FROM bk),
+p AS (
+  SELECT qid, nid, qe, ce FROM q JOIN c
+    ON qid <> nid AND bit_count(xor(qb, cb)) <= 1
+),
+u AS (SELECT qid, nid, CAST(unnest(qe) AS DOUBLE) AS qx, CAST(unnest(ce) AS DOUBLE) AS cx FROM p),
+s AS (
+  SELECT qid, nid, sum(qx * cx) AS dot,
+         sqrt(sum(qx * qx)) AS nq, sqrt(sum(cx * cx)) AS nc
+  FROM u GROUP BY 1, 2
+)
+SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc + 1e-12) DESC, nid ASC) AS rnk
+  FROM s
+) WHERE rnk <= 10
+"""
+
+    sql["w7_mm_limit"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s AS (
+  SELECT 'u' || user_id AS entity_name,
+         CASE WHEN user_id % 3 = 0 THEN '"ORI_IMG"' ELSE '"PERSON"' END AS entity_type,
+         row_number() OVER (ORDER BY 'u' || user_id ASC) AS rnk
+  FROM u
+)
+SELECT entity_name, CAST(rnk AS BIGINT) AS rnk
+FROM s WHERE entity_type = '"ORI_IMG"'
+ORDER BY rnk LIMIT 3
+"""
+
+    sql["p8_cache_hits"] = """
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         md5(to_json(struct_pack(text := text))) AS args_hash
+  FROM documents
+),
+cache AS (
+  SELECT DISTINCT md5(to_json(struct_pack(text := text))) AS args_hash
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT k.id, k.args_hash, (c.args_hash IS NOT NULL) AS hit
+FROM keyed k LEFT JOIN cache c USING (args_hash)
 """
 
     sql["signbit_buckets"] = """

@@ -156,23 +156,20 @@ def kmeans_fit(
 ) -> DataFrame:
     """IVF coarse quantizer: Lloyd's k-means, fully DataFrame-native.
 
-    Init = the k lowest-id vectors (deterministic); each round assigns every
-    vector to its nearest centroid (broadcast k rows, partial-agg argmax) and
+    Init = the k lowest-id vectors (deterministic). The k init rows come to
+    the driver via TakeOrderedAndProject (k is the quantizer size — tiny by
+    definition, and the centroids get broadcast right back out every round),
+    so no window/shuffle at all in the init. Each round assigns every vector
+    to its nearest centroid (broadcast k rows, partial-agg argmax) and
     recomputes means via centroid_per_label (posexplode + avg — partial-agg
     friendly, no vector collect_list). Lineage is cut per round
     (localCheckpoint) so Catalyst never re-analyzes the unrolled loop.
     Returns (label, centroid)."""
-    # single-partition window is fine HERE: it runs over exactly k rows (post
-    # limit), not the corpus — partitionBy(lit) marks that as intentional
-    w = Window.partitionBy(F.lit(1)).orderBy(id_col)
-    init = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(k)
-        .withColumn("label", F.row_number().over(w) - 1)
-        .select("label", F.col(vec_col).alias("centroid"))
-        .localCheckpoint()
-    )
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    init = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)],
+        "label int, centroid array<double>",
+    ).localCheckpoint()
     centroids = init
     for _ in range(max_iter):
         assigned = assign_nearest_centroid(embeddings, centroids, id_col, vec_col)

