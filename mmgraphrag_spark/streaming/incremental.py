@@ -174,6 +174,23 @@ class IncrementalIndexer:
             if seen_m is not None
             else media.select(*mkeys).distinct()
         )
+        # fusion inputs (finalize_fused): distinct mention occurrences — text
+        # mentions key on chunk_id, image mentions on media_ref — plus every
+        # chunk's per-doc positions. All pure set-union state (idempotent
+        # under re-union), so batch boundaries can't perturb them. seen_media
+        # doubles as the media-position table (same key set).
+        def _acc(name: str, delta: DataFrame) -> DataFrame:
+            prior = self._load(v, name)
+            return (
+                prior.unionByName(delta).distinct() if prior is not None
+                else delta.distinct()
+            )
+
+        text_ment = _acc("text_ment", ents_m.select("entity_name", "source_id"))
+        img_ment = _acc("img_ment", img_ents_m.select("entity_name", "source_id"))
+        chunk_occ = _acc(
+            "chunk_occ", chunk_rows.select("chunk_id", "doc_id", "chunk_order_index")
+        )
         self._commit(
             v + 1,
             {
@@ -181,6 +198,9 @@ class IncrementalIndexer:
                 "edge_state": d_edge,
                 "seen_chunks": seen_next,
                 "seen_media": seen_m_next,
+                "text_ment": text_ment,
+                "img_ment": img_ment,
+                "chunk_occ": chunk_occ,
             },
             batch_id=batch_id,
         )
@@ -211,6 +231,54 @@ class IncrementalIndexer:
         )
         entities = M.add_dangling_entities(entities, edges)
         return M.summarize_long_descriptions(entities), edges
+
+    def finalize_fused(
+        self,
+        blocking: str = "neighborhood",
+        window: int = 1,
+        max_block: int = 2000,
+        judge_backend=None,
+    ) -> dict:
+        """Full §2.10 closure: run the SAME fusion stages the batch pipeline
+        runs (blocking -> spectral -> judge -> CC -> contraction,
+        pipeline.build_aliases) over the accumulated state, yielding canonical
+        entities/edges/triples identical to a fresh batch run over every
+        document seen so far (asserted through ``triples`` in test_streaming).
+
+        Fusion itself is a rerun over the final state, not an incremental
+        delta — alias decisions are global (a batch-3 entity can alias a
+        batch-1 entity), so any incremental variant would have to re-open
+        closed clusters anyway. The state keeps exactly the fusion inputs
+        (mention occurrence sets + positions), so the rerun never touches the
+        raw documents."""
+        from mmgraphrag_spark.operators import fusion as FU
+        from mmgraphrag_spark.pipeline import build_aliases
+
+        entities, edges = self.finalize()
+        entities = entities.localCheckpoint()
+        edges = edges.localCheckpoint()
+        v = self._latest()
+        text_ment = self._load(v, "text_ment")
+        img_ment = self._load(v, "img_ment")
+        chunk_occ = self._load(v, "chunk_occ")
+        media_occ = self._load(v, "seen_media")
+        if any(t is None for t in (text_ment, img_ment, chunk_occ, media_occ)):
+            raise ValueError(
+                "state predates the fusion tables (text_ment/img_ment/"
+                "chunk_occ); re-index with this version to use finalize_fused"
+            )
+        aliases = build_aliases(
+            entities, edges, text_ment, img_ment, media_occ, chunk_occ,
+            window=window, max_block=max_block, blocking=blocking,
+            judge_backend=judge_backend,
+        )
+        entities_f, edges_f = FU.contract(entities, edges, aliases)
+        return {
+            "entities": entities_f,
+            "edges": edges_f,
+            "triples": M.triples_view(edges_f),
+            "aliases": aliases,
+        }
 
 
 def incremental_index_stream(

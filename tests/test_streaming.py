@@ -230,3 +230,43 @@ def test_redelivered_media_not_double_counted(spark, tmp_path):
     got_w = {(r.src, r.tgt): r.weight for r in g2.collect()}
     assert got_e == base_e
     assert got_w == base_w  # weight-10 containment edge NOT summed to 20
+
+
+def test_incremental_fused_equals_batch(spark, corpus, pipeline_out, tmp_path):
+    """§2.10 end-to-end: three interleaved micro-batches (media spans
+    included), then finalize_fused runs blocking -> judge -> CC ->
+    contraction over the accumulated state — canonical TRIPLES and the alias
+    map must equal a fresh batch run over the full corpus."""
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    rows = datagen.corpus_rows(corpus)
+    third = max(1, len(rows) // 3)
+    batches = [rows[:third], rows[third: 2 * third], rows[2 * third:]]
+    assert all(batches), "need three non-empty batches"
+    # the corpus must actually exercise the media path
+    assert any(
+        s[0] != "text" for rows_ in batches for r in rows_ for s in r[1]
+    )
+
+    indexer = IncrementalIndexer(spark, str(tmp_path / "state_fused"))
+    for i, b in enumerate(batches):
+        indexer.process_batch(spark.createDataFrame(b, schema.DOCUMENTS), i)
+
+    fused = indexer.finalize_fused()
+
+    got_t = {(r.subj, r.pred, r.obj, r.weight) for r in fused["triples"].collect()}
+    exp_t = {
+        (r.subj, r.pred, r.obj, r.weight)
+        for r in pipeline_out["triples"].collect()
+    }
+    assert got_t == exp_t
+
+    got_a = {(r.alias, r.canonical) for r in fused["aliases"].collect()}
+    exp_a = {(r.alias, r.canonical) for r in pipeline_out["aliases"].collect()}
+    assert got_a == exp_a
+
+    # post-contraction entity set matches too (names only: source sets were
+    # already asserted exactly by the pre-fusion equivalence test)
+    got_e = {r.entity_name for r in fused["entities"].collect()}
+    exp_e = {r.entity_name for r in pipeline_out["entities"].collect()}
+    assert got_e == exp_e
