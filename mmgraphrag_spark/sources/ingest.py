@@ -217,8 +217,11 @@ def read_docx_dir(spark: SparkSession, path: str, glob: str = "*.docx") -> DataF
 
     Distributed: Spark's binaryFile source splits files across tasks; each
     task unzips + XML-walks its files (stdlib, Arrow-batched). doc_id =
-    "doc-" + md5(full text), the same derivation as the markdown front-end
-    (reference preprocessing.py:107-110)."""
+    "doc-" + md5(full text + ordered media refs) — see _doc_id; because the
+    refs embed the file path, cross-PATH dedup of media-bearing files is
+    intentionally disabled (text-only files still dedup by content alone).
+    The markdown front-end's text-only derivation is the text-only special
+    case (reference preprocessing.py:107-110)."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -267,15 +270,38 @@ def _pdf_objects(blob: bytes) -> dict:
     }
 
 
-def _pdf_stream(body: bytes):
+def _pdf_stream(body: bytes, objs: dict | None = None):
+    """Stream bytes of one object. The dict's /Length (direct or, with
+    ``objs``, an indirect ``N 0 R``) slices the stream exactly — a binary
+    stream containing the byte sequence ``\\r\\nendstream`` is not truncated
+    at it; the lazy endstream scan is only the fallback for missing/broken
+    /Length. The filter comes from the /Filter VALUE (first name, array
+    form included), not a substring match anywhere in the body."""
     import re
     import zlib
 
-    m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.DOTALL)
-    if m is None:
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in body:
+    head, start = body[: sm.start()], sm.end()
+    data = None
+    lm = re.search(rb"/Length\s+(\d+)\s+0\s+R", head)
+    if lm and objs is not None:
+        ref_body = objs.get(int(lm.group(1)), b"")
+        nm = re.search(rb"(\d+)", ref_body)
+        if nm:
+            data = body[start : start + int(nm.group(1))]
+    elif not lm:
+        lm2 = re.search(rb"/Length\s+(\d+)", head)
+        if lm2:
+            data = body[start : start + int(lm2.group(1))]
+    if data is None:
+        m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.DOTALL)
+        if m is None:
+            return None
+        data = m.group(1)
+    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
+    if fm and fm.group(1) == b"FlateDecode":
         try:
             data = zlib.decompress(data)
         except Exception:
@@ -298,18 +324,36 @@ def _pdf_literal(s: bytes) -> str:
     return "".join(out)
 
 
+def _pdf_hex(s: bytes) -> str:
+    """Hex string ``<48 65 6C>`` -> text: whitespace ignored, odd digit count
+    padded with a trailing 0 (PDF spec 7.3.4.3), latin-1 byte decode. CID
+    fonts map codes through a CMap instead — that stays a PyMuPDF seam."""
+    import re
+
+    digits = re.sub(rb"\s+", b"", s)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+
+
 def _pdf_page_text(content: bytes) -> str:
-    """Text-showing operators (Tj and TJ arrays) -> page text. Covers the
-    literal-string subset that simple generators emit; CID/hex-encoded fonts
-    need the PyMuPDF front-end."""
+    """Text-showing operators (Tj and TJ arrays, literal AND hex strings)
+    -> page text, in stream order. CID-keyed fonts (whose hex codes need a
+    CMap) still need the PyMuPDF front-end."""
     import re
 
     lit = rb"\(((?:\\.|[^\\()])*)\)"
+    hexs = rb"<([0-9A-Fa-f\s]*)>"
+    item = rb"(?:" + lit + rb"|" + hexs + rb")"
+
+    def _decode(m):
+        return _pdf_literal(m.group(1)) if m.group(1) is not None else _pdf_hex(m.group(2))
+
     parts = []
-    for m in re.finditer(lit + rb"\s*Tj", content, re.DOTALL):
-        parts.append(_pdf_literal(m.group(1)))
+    for m in re.finditer(item + rb"\s*Tj", content, re.DOTALL):
+        parts.append(_decode(m))
     for m in re.finditer(rb"\[(.*?)\]\s*TJ", content, re.DOTALL):
-        parts.extend(_pdf_literal(x.group(1)) for x in re.finditer(lit, m.group(1)))
+        parts.extend(_decode(x) for x in re.finditer(item, m.group(1)))
     return " ".join(p.strip() for p in parts if p.strip())
 
 
@@ -342,7 +386,7 @@ def _parse_pdf_bytes(name: str, blob: bytes):
         text = ""
         mc = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
         if mc and int(mc.group(1)) in objs:
-            content = _pdf_stream(objs[int(mc.group(1))])
+            content = _pdf_stream(objs[int(mc.group(1))], objs)
             if content:
                 text = _pdf_page_text(content)
         texts.append(text)
@@ -361,7 +405,7 @@ def _parse_pdf_bytes(name: str, blob: bytes):
                     "image/jpeg" if b"/DCTDecode" in xbody
                     else "application/octet-stream"
                 )
-                data = _pdf_stream(xbody) or b""
+                data = _pdf_stream(xbody, objs) or b""
                 rows.append((pord, sord, "image", "", media_ref))
                 media.append((media_ref, mime, data))
                 sord += 1
@@ -371,12 +415,13 @@ def _parse_pdf_bytes(name: str, blob: bytes):
 def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
     """Directory of simple PDFs -> documents(doc_id, spans).
 
-    Stdlib-only mini-parser (zlib FlateDecode + literal-string text
+    Stdlib-only mini-parser (zlib FlateDecode + literal/hex text-string
     operators): real text/image extraction for straightforward generators.
     Complex PDFs (CID fonts, object streams, encryption) need the PyMuPDF
     front-end the reference uses (pdf_preprocessing.py:314-400) — it emits
     the same span shape, so it plugs in at this seam. doc_id = "doc-" +
-    md5(full text), as in the other front-ends."""
+    md5(full text + ordered media refs) — see _doc_id; media refs embed the
+    path, so cross-path dedup applies only to text-only files."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

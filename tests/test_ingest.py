@@ -166,7 +166,7 @@ def _write_pdf(path):
         b"4 0 obj << /Length 48 >> stream\n"
         b"BT /F1 12 Tf (First page about ENTITY_1.) Tj ET\nendstream endobj\n",
         b"5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n",
-        b"6 0 obj << /Length 40 >> stream\n"
+        b"6 0 obj << /Length 38 >> stream\n"
         b"BT [(Second) -250 (page text.)] TJ ET\nendstream endobj\n",
         b"7 0 obj << /Subtype /Image /Filter /DCTDecode /Width 1 /Height 1 "
         b"/Length 10 >> stream\n" + jpg + b"\nendstream endobj\n",
@@ -194,6 +194,55 @@ def test_read_pdf_dir_interleaved_spans(spark, tmp_path):
         ("text", "Second page text.", ""),
     ]
     assert [s.offset for s in spans] == [0, 1, 2]
+
+
+def _write_hex_pdf(path):
+    """One-page PDF exercising the round-3 parser upgrades: hex-string Tj
+    (with internal whitespace), a TJ array mixing literal and hex items, a
+    literal string containing '/FlateDecode' (must NOT trigger decompression
+    — the filter is parsed from the dict, not substring-matched), and an
+    image stream with an indirect /Length whose payload embeds the byte
+    sequence '\\r\\nendstream' (only exact /Length slicing keeps it whole)."""
+    content = (
+        b"BT <4865 7820 70 61 67 652E> Tj "
+        b"[( and ) <686578> ( items.)] TJ "
+        b"(/FlateDecode mention) Tj ET"
+    )
+    jpg = b"\xff\xd8\xffAA\r\nendstream BB"
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Im1 8 0 R >> >> >> endobj\n",
+        b"4 0 obj << /Length %d >> stream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n",
+        b"8 0 obj << /Subtype /Image /Filter /DCTDecode /Width 1 /Height 1 "
+        b"/Length 9 0 R >> stream\n" + jpg + b"\nendstream endobj\n",
+        b"9 0 obj %d endobj\n" % len(jpg),
+        b"%%EOF\n",
+    ]
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+    return jpg
+
+
+def test_pdf_hex_text_and_exact_stream_slicing(tmp_path):
+    from mmgraphrag_spark.sources.ingest import _parse_pdf_bytes, _pdf_hex
+
+    assert _pdf_hex(b"48 65 6C6C 6F") == "Hello"
+    assert _pdf_hex(b"486") == "H`"  # odd digit count pads a trailing 0
+
+    p = str(tmp_path / "hex.pdf")
+    jpg = _write_hex_pdf(p)
+    with open(p, "rb") as f:
+        full_text, rows, media = _parse_pdf_bytes("hex.pdf", f.read())
+    # Tj matches in stream order, then TJ-array items (existing behavior).
+    assert full_text.strip() == "Hex page. /FlateDecode mention and hex items."
+    # The indirect /Length sliced the image exactly: the embedded
+    # "\r\nendstream" bytes did not truncate it.
+    assert media == [("pdf://hex.pdf/obj8", "image/jpeg", jpg)]
 
 
 def test_read_pdf_media_extracts_jpeg(spark, tmp_path):
