@@ -155,9 +155,12 @@ def run_pipeline(
     )
 
     # L3: optional MLLM describer replaces the default segmentation=True flag
-    # and supplies the ORI_IMG description; its flag gates object detection
+    # and supplies the ORI_IMG description; its flag gates object detection.
+    # Durable commit: describer calls are paid + nondeterministic, so resume
+    # must read them back rather than re-spend them (same rule as the judged
+    # alias_pairs below).
     if describer is not None:
-        media = cp.stage_light(
+        media = cp.stage(
             "media_described",
             SC.describe_media(media, describer, media_bytes=media_bytes),
         )
@@ -185,7 +188,9 @@ def run_pipeline(
     # ride the existing alias/contraction machinery, description updates
     # apply before contraction (offline default: keep their own names)
     if enhancer is not None:
-        enh = cp.stage_light(
+        # durable: enhancer output is LLM-paid/nondeterministic (see
+        # alias_pairs rule); the rebuilt alias_map below is derived and light
+        enh = cp.stage(
             "enhanced_unaligned", FU.enhance_unaligned(entities, aliases, enhancer)
         )
         entities = (
@@ -323,8 +328,14 @@ def build_aliases(
         "fusion_clusters", FU.spectral_cluster_blocks(members, block_edges)
     )
     # alias pairs/maps are a few rows — light commits (plan cut only); a
-    # durable parquet round-trip per tiny stage is pure fixed overhead
-    pairs = cp.stage_light(
+    # durable parquet round-trip per tiny stage is pure fixed overhead.
+    # EXCEPT when an LLM judge is plugged in: its verdicts are paid and
+    # nondeterministic, so a crash-resume through stage_light would re-spend
+    # the calls and could emit a different alias set. Durable-commit the
+    # judged pairs then; the alias_map derivation from them is deterministic
+    # and stays light either way.
+    commit_pairs = cp.stage if judge_backend is not None else cp.stage_light
+    pairs = commit_pairs(
         "alias_pairs",
         FU.judge_alignment(
             clustered,

@@ -45,6 +45,47 @@ def test_parquet_checkpoint_commit_and_resume(spark, documents_df, tmp_path):
     assert _triples_set(out2) == t1
 
 
+def test_llm_judged_alias_pairs_are_durable(spark, documents_df, tmp_path):
+    """With an LLM judge plugged in, the judged alias_pairs stage must
+    durable-commit (paid + nondeterministic calls): a crash-resume reads the
+    verdicts back instead of re-spending them and possibly emitting a
+    different alias set. Without a judge the stage stays a light commit
+    (asserted in test_parquet_checkpoint_commit_and_resume).
+
+    Judge classes are defined in-function so cloudpickle ships them by value
+    to the Python workers (the test module is not importable there)."""
+
+    class FirstCandidateJudge:
+        """Stand-in for a paid LLM judge: picks the first offered candidate."""
+
+        def judge(self, image_name, image_description, candidates):
+            return candidates[0] if candidates else None
+
+    class ExplodingJudge:
+        """Fails if invoked — proves resume re-reads judged verdicts."""
+
+        def judge(self, *a, **k):
+            raise AssertionError("judge re-ran on a committed alias_pairs stage")
+
+    root = str(tmp_path / "ckpt3")
+    cp1 = ParquetCheckpointer(spark, root)
+    out1 = run_pipeline(
+        spark, documents_df, judge_backend=FirstCandidateJudge(), checkpointer=cp1
+    )
+    t1 = _triples_set(out1)
+    marks = {m["stage"]: m for m in cp1.manifest()}
+    assert "alias_pairs" in marks and marks["alias_pairs"]["rows"] > 0
+
+    out2 = run_pipeline(
+        spark,
+        documents_df,
+        extractor=ExplodingExtractor(),
+        judge_backend=ExplodingJudge(),
+        checkpointer=ParquetCheckpointer(spark, root),
+    )
+    assert _triples_set(out2) == t1
+
+
 def test_partial_checkpoint_resumes_midway(spark, documents_df, tmp_path):
     """Simulated kill: only early stages committed -> rerun recomputes the
     rest and lands the same result as a fresh run."""
