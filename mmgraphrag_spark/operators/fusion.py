@@ -262,21 +262,63 @@ def embedding_blocks(
     return out
 
 
-def cap_blocks(members: DataFrame, max_block: int = 2000) -> DataFrame:
+def cap_blocks(
+    members: DataFrame, max_block: int = 2000, observation=None
+) -> DataFrame:
     """Bound block cardinality so the per-block Gram/eig stays in UDF memory
     (SURVEY §7.4 block-size blowup): oversized blocks are salted into
     deterministic sub-blocks of <= max_block members. This is the hub-entity
     skew-salting point — a hot block becomes many bounded ones.
-    """
+
+    Splitting is a recall trade (members of one oversized block can no longer
+    alias across its sub-blocks) and downstream pair enumeration is
+    O(max_block^2) per block — so a band that splits REPEATEDLY signals the
+    blocking key is too coarse (lower the LSH band width / raise n_bits)
+    rather than a reason to raise max_block. Pass a ``pyspark.sql.Observation``
+    to surface it: metrics ``split_blocks`` (input blocks that overflowed) and
+    ``extra_sub_blocks`` (additional blocks created) fire with the first
+    action on the result, at zero extra jobs; :func:`log_split_blocks` turns
+    them into a warning."""
     w = Window.partitionBy("block_id").orderBy("kind", "entity_name")
+    numbered = members.withColumn("_rn", F.row_number().over(w))
+    if observation is not None:
+        rn = F.col("_rn")
+        numbered = numbered.observe(
+            observation,
+            F.coalesce(
+                F.sum((rn == max_block + 1).cast("long")), F.lit(0)
+            ).alias("split_blocks"),
+            F.coalesce(
+                F.sum(((rn > 1) & (((rn - 1) % max_block) == 0)).cast("long")), F.lit(0)
+            ).alias("extra_sub_blocks"),
+        )
     return (
-        members.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
+        numbered.withColumn(
             "block_id",
             F.concat_ws("#", "block_id", ((F.col("_rn") - 1) / max_block).cast("int")),
         )
         .drop("_rn")
     )
+
+
+def log_split_blocks(observation, max_block: int) -> dict:
+    """Read a cap_blocks Observation (after an action has run on its result!)
+    and warn when any block overflowed — a pathological blocking band should
+    be visible, not silently salted away. Returns the metrics dict."""
+    import logging
+
+    metrics = observation.get
+    if metrics.get("split_blocks", 0):
+        logging.getLogger("mmgraphrag_spark").warning(
+            "fusion blocking: %d oversized blocks were salted into %d extra "
+            "sub-blocks of <= %d members; repeated splitting means the "
+            "blocking key is too coarse (widen LSH bands / raise n_bits) "
+            "and trades alias recall across sub-blocks",
+            metrics["split_blocks"],
+            metrics["extra_sub_blocks"],
+            max_block,
+        )
+    return metrics
 
 # ---------------------------------------------------------------------------
 # 2. Per-block spectral clustering (grouped-map pandas UDF)

@@ -302,7 +302,21 @@ def build_aliases(
             members = FU.embedding_blocks(typed)
     else:
         members = FU.neighborhood_blocks(img_members, text_occ, window=window)
-    members = cp.stage("fusion_blocks", FU.cap_blocks(members, max_block=max_block))
+    # split-visibility: an Observation rides the stage-commit action (zero
+    # extra jobs) and warns when blocks overflowed max_block — a repeatedly
+    # splitting band is a blocking-key problem, not something to salt away
+    # silently. On a resumed run the committed stage skips the action (the
+    # metric would never fire), so only read it on a fresh commit.
+    from pyspark.sql import Observation
+
+    cap_obs = Observation("fusion_block_caps")
+    fresh = not getattr(cp, "committed", lambda name: False)("fusion_blocks")
+    members = cp.stage(
+        "fusion_blocks",
+        FU.cap_blocks(members, max_block=max_block, observation=cap_obs),
+    )
+    if fresh:
+        FU.log_split_blocks(cap_obs, max_block)
     # within-block known relationships for Gram reweighting (M3).
     # JOIN ORDER MATTERS: edges ⋈ members on src alone explodes on hub
     # entities (an entity in B blocks duplicates each of its edges B times —

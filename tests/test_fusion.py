@@ -140,6 +140,84 @@ def test_lsh_blocks_group_similar_text(spark):
     assert xy > 0  # identical text always shares all bands
 
 
+def test_embedding_blocks_recall_with_semantic_backend(spark):
+    """The >=0.9 blocking-recall claim in embedding_blocks' docstring holds
+    when embeddings ARE semantic: a scripted backend gives each planted
+    (image, text) paraphrase pair near-identical unit vectors (cosine ~0.99)
+    and unrelated entities independent random ones; >=90% of pairs must share
+    a sign-bit block. (The offline hash-embed backend is not semantic — its
+    tests assert partial recall only.) Backend defined in-function so
+    cloudpickle ships it by value to the python workers."""
+
+    class ScriptedSemanticBackend:
+        """Fixed vectors keyed by the planted pair id in the text: pair k's
+        image and text variants differ by a small seeded perturbation."""
+
+        def embed(self, texts):
+            import re
+
+            import numpy as np
+
+            out = []
+            for t in texts:
+                k = int(re.search(r"(\d+)", t).group(1))
+                v = np.random.RandomState(k).randn(32)
+                if "IMG_" in t:
+                    v = v + 0.03 * np.linalg.norm(v) / np.sqrt(32) * (
+                        np.random.RandomState(1000 + k).randn(32)
+                    )
+                v = v / np.linalg.norm(v)
+                out.append(v.tolist())
+            return out
+
+    n_pairs = 20
+    rows = []
+    for i in range(n_pairs):
+        rows.append((f'"IMG_{i}"', "img", f"paraphrase {i} seen in a photo"))
+        rows.append((f'"TXT_{i}"', "text", f"written mention {i} in prose"))
+    typed = spark.createDataFrame(rows, ["entity_name", "kind", "description"])
+    blocks = FU.embedding_blocks(typed, embed_backend=ScriptedSemanticBackend())
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "block_id")
+        .filter(
+            (F.col("a.kind") == "img")
+            & (F.col("b.kind") == "text")
+            & (
+                F.regexp_extract("a.entity_name", r"(\d+)", 1)
+                == F.regexp_extract("b.entity_name", r"(\d+)", 1)
+            )
+        )
+        .select(F.regexp_extract("a.entity_name", r"(\d+)", 1).alias("k"))
+        .distinct()
+        .count()
+    )
+    assert pairs >= 0.9 * n_pairs
+
+
+def test_cap_blocks_split_counter(spark):
+    """An oversized block is salted into bounded sub-blocks AND the split is
+    observable: the Observation metrics (split_blocks / extra_sub_blocks)
+    fire with the result's first action, so a pathological blocking band is
+    visible rather than silently capped."""
+    from pyspark.sql import Observation
+
+    rows = [("big", f'"E{i:02d}"', "text", "d") for i in range(25)] + [
+        ("small", '"S"', "text", "d")
+    ]
+    members = spark.createDataFrame(
+        rows, ["block_id", "entity_name", "kind", "description"]
+    )
+    obs = Observation("caps")
+    capped = FU.cap_blocks(members, max_block=10, observation=obs)
+    sizes = {
+        r.block_id: r.n
+        for r in capped.groupBy("block_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"big#0": 10, "big#1": 10, "big#2": 5, "small#0": 1}
+    assert FU.log_split_blocks(obs, 10) == {"split_blocks": 1, "extra_sub_blocks": 2}
+
+
 def test_judge_alignment_llm_backend(spark):
     """LLM judge path (J14 with backend): per image entity, one judge call over
     its same-cluster candidates; only a reply naming an offered candidate
