@@ -736,30 +736,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("entity_name"))
     ).localCheckpoint()
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr_min = (
             edges.join(comp, edges.b == comp.entity_name)
             .groupBy(F.col("a").alias("entity_name"))
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_comp = (
-            comp.join(nbr_min, "entity_name", "left")
-            .select(
-                "entity_name",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-                ).alias("component"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "entity_name")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # ONE driver action per round: the convergence probe is an
+        # Observation riding the localCheckpoint materialization (a label
+        # changes iff a neighbor's component undercuts the current one, so
+        # old-vs-new needs no second join/count pass — the probe used to be
+        # a separate per-round action, i.e. 2x driver round-trips).
+        obs = Observation()
+        joined = comp.join(nbr_min, "entity_name", "left").observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("nbr_comp") < F.col("component")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
         )
-        comp = new_comp
-        if changed == 0:
+        comp = joined.select(
+            "entity_name",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint()
+        if obs.get["changed"] == 0:
             break
     else:
         raise RuntimeError(
