@@ -324,36 +324,178 @@ def _pdf_literal(s: bytes) -> str:
     return "".join(out)
 
 
-def _pdf_hex(s: bytes) -> str:
-    """Hex string ``<48 65 6C>`` -> text: whitespace ignored, odd digit count
-    padded with a trailing 0 (PDF spec 7.3.4.3), latin-1 byte decode. CID
-    fonts map codes through a CMap instead — that stays a PyMuPDF seam."""
+def _pdf_hex_bytes(s: bytes) -> bytes:
+    """Hex-string digits -> raw bytes: whitespace ignored, odd digit count
+    padded with a trailing 0 (PDF spec 7.3.4.3)."""
     import re
 
     digits = re.sub(rb"\s+", b"", s)
     if len(digits) % 2:
         digits += b"0"
-    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+    return bytes.fromhex(digits.decode("ascii"))
 
 
-def _pdf_page_text(content: bytes) -> str:
-    """Text-showing operators (Tj and TJ arrays, literal AND hex strings)
-    -> page text, in stream order. CID-keyed fonts (whose hex codes need a
-    CMap) still need the PyMuPDF front-end."""
+def _pdf_hex(s: bytes) -> str:
+    """Hex string ``<48 65 6C>`` -> text, latin-1 byte decode (the no-CMap
+    fallback; CID codes go through the font's ToUnicode CMap instead)."""
+    return _pdf_hex_bytes(s).decode("latin-1")
+
+
+def _parse_cmap(data: bytes):
+    """ToUnicode CMap stream -> (code -> unicode str, code byte width).
+
+    Covers the structures real ToUnicode CMaps use (PDF 32000-1:2008 §9.10.3):
+    ``begincodespacerange`` (fixes the code width), ``beginbfchar``
+    (``<src> <dst>`` pairs) and ``beginbfrange`` (``<lo> <hi> <dstStart>``
+    increment form and ``<lo> <hi> [<d1> <d2> ...]`` array form). Dst hex is
+    UTF-16BE. Reference scope: PyMuPDF resolves these internally
+    (pdf_preprocessing.py:314-400 gets decoded text for free)."""
     import re
 
+    cmap: dict = {}
+    width = 0
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.DOTALL
+    ):
+        for h in re.finditer(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            width = max(width, (len(h.group(1)) + 1) // 2)
+
+    def _dst(h: bytes) -> str:
+        raw = _pdf_hex_bytes(h)
+        if len(raw) % 2:  # malformed dst — pad high byte
+            raw = b"\x00" + raw
+        return raw.decode("utf-16-be", errors="replace")
+
+    hexp = rb"<([0-9A-Fa-f\s]+)>"
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        pairs = re.findall(hexp, m.group(1))
+        for src, dst in zip(pairs[0::2], pairs[1::2]):
+            sb = _pdf_hex_bytes(src)
+            width = max(width, len(sb))
+            cmap[int.from_bytes(sb, "big")] = _dst(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        # array form first: <lo> <hi> [<d1> <d2> ...]
+        for rm in re.finditer(
+            hexp + rb"\s*" + hexp + rb"\s*\[((?:\s*<[0-9A-Fa-f\s]+>)+)\s*\]",
+            body,
+        ):
+            lo = int.from_bytes(_pdf_hex_bytes(rm.group(1)), "big")
+            width = max(width, len(_pdf_hex_bytes(rm.group(1))))
+            for off, d in enumerate(re.findall(hexp, rm.group(3))):
+                cmap[lo + off] = _dst(d)
+        body = re.sub(
+            hexp + rb"\s*" + hexp + rb"\s*\[(?:\s*<[0-9A-Fa-f\s]+>)+\s*\]",
+            b"", body,
+        )
+        for rm in re.finditer(hexp + rb"\s*" + hexp + rb"\s*" + hexp, body):
+            sb = _pdf_hex_bytes(rm.group(1))
+            lo = int.from_bytes(sb, "big")
+            hi = int.from_bytes(_pdf_hex_bytes(rm.group(2)), "big")
+            width = max(width, len(sb))
+            draw = _pdf_hex_bytes(rm.group(3))
+            if len(draw) % 2:
+                draw = b"\x00" + draw
+            dlo = int.from_bytes(draw, "big") if draw else 0
+            for off in range(min(hi - lo, 0xFFFF) + 1):
+                cmap[lo + off] = (dlo + off).to_bytes(len(draw) or 2, "big").decode(
+                    "utf-16-be", errors="replace"
+                )
+    return cmap, (width or 1)
+
+
+def _page_fonts(objs: dict, page_body: bytes, tree_body: bytes = b""):
+    """Page dict -> {font resource name: (ToUnicode cmap, code width)}.
+
+    Walks /Resources (inline dict or indirect ref; falls back to the
+    page-tree node's — PDF resource inheritance) -> /Font -> per-font
+    /ToUnicode stream. Fonts without a ToUnicode entry are omitted; their
+    strings keep the latin-1 fallback path."""
+    import re
+
+    fonts: dict = {}
+    for body in (page_body, tree_body):
+        rsrc = None
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", body)
+        if rm:
+            rsrc = objs.get(int(rm.group(1)), b"")
+        else:
+            rm = re.search(rb"/Resources\s*<<", body)
+            if rm:
+                rsrc = body[rm.end() - 2:]
+        if rsrc is None:
+            continue
+        fm = re.search(rb"/Font\s+(\d+)\s+0\s+R", rsrc)
+        fdict = objs.get(int(fm.group(1)), b"") if fm else rsrc
+        for em in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fdict):
+            name, oid = em.group(1).decode("latin-1"), int(em.group(2))
+            fbody = objs.get(oid, b"")
+            if b"/BaseFont" not in fbody and b"/Subtype" not in fbody:
+                continue
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
+            if tm and name not in fonts:
+                data = _pdf_stream(objs.get(int(tm.group(1)), b""), objs)
+                if data:
+                    fonts[name] = _parse_cmap(data)
+        if fonts:
+            break
+    return fonts
+
+
+def _pdf_page_text(content: bytes, fonts: dict | None = None) -> str:
+    """Text-showing operators (Tj and TJ arrays, literal AND hex strings)
+    -> page text, in true stream order (one sequential scan, tracking the
+    current font set by ``Tf``). Hex strings of a font with a ToUnicode CMap
+    decode through it (multi-byte CID codes included); 1-byte CMaps apply to
+    literal strings too (simple fonts). Everything else falls back to
+    latin-1. Encrypted PDFs stay a PyMuPDF seam."""
+    import re
+
+    fonts = fonts or {}
     lit = rb"\(((?:\\.|[^\\()])*)\)"
     hexs = rb"<([0-9A-Fa-f\s]*)>"
     item = rb"(?:" + lit + rb"|" + hexs + rb")"
+    tok = re.compile(
+        rb"/(\w+)\s+[\d.]+\s+Tf"            # 1: font select
+        rb"|" + item + rb"\s*Tj"             # 2/3: literal/hex show
+        rb"|\[((?:" + item + rb"|[^\]])*)\]\s*TJ",  # 4: array show
+        re.DOTALL,
+    )
+    cur = None  # (cmap, width) of the current font, if it has a CMap
 
-    def _decode(m):
-        return _pdf_literal(m.group(1)) if m.group(1) is not None else _pdf_hex(m.group(2))
+    def _map_hex(h: bytes) -> str:
+        if cur is None:
+            return _pdf_hex(h)
+        cmap, width = cur
+        raw = _pdf_hex_bytes(h)
+        out = []
+        for i in range(0, len(raw) - width + 1, width):
+            code = int.from_bytes(raw[i : i + width], "big")
+            out.append(cmap.get(code, ""))
+        return "".join(out)
+
+    def _map_lit(s: bytes) -> str:
+        text = _pdf_literal(s)
+        if cur is None or cur[1] != 1:
+            return text
+        cmap = cur[0]
+        return "".join(cmap.get(ord(c), c) for c in text)
 
     parts = []
-    for m in re.finditer(item + rb"\s*Tj", content, re.DOTALL):
-        parts.append(_decode(m))
-    for m in re.finditer(rb"\[(.*?)\]\s*TJ", content, re.DOTALL):
-        parts.extend(_decode(x) for x in re.finditer(item, m.group(1)))
+    for m in tok.finditer(content):
+        if m.group(1) is not None:
+            f = m.group(1).decode("latin-1")
+            cur = fonts.get(f)
+        elif m.group(2) is not None:
+            parts.append(_map_lit(m.group(2)))
+        elif m.group(3) is not None:
+            parts.append(_map_hex(m.group(3)))
+        elif m.group(4) is not None:
+            for x in re.finditer(item, m.group(4)):
+                parts.append(
+                    _map_lit(x.group(1)) if x.group(1) is not None
+                    else _map_hex(x.group(2))
+                )
     return " ".join(p.strip() for p in parts if p.strip())
 
 
@@ -367,11 +509,12 @@ def _parse_pdf_bytes(name: str, blob: bytes):
 
     objs = _pdf_objects(blob)
     # page order: /Kids of the page-tree node; fallback = object-id order
-    page_ids = []
+    page_ids, tree_body = [], b""
     for body in objs.values():
         if b"/Kids" in body and b"/Page" in body:
             m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
             if m:
+                tree_body = body
                 page_ids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
                 break
     if not page_ids:
@@ -388,7 +531,7 @@ def _parse_pdf_bytes(name: str, blob: bytes):
         if mc and int(mc.group(1)) in objs:
             content = _pdf_stream(objs[int(mc.group(1))], objs)
             if content:
-                text = _pdf_page_text(content)
+                text = _pdf_page_text(content, _page_fonts(objs, body, tree_body))
         texts.append(text)
         sord = 0
         if text.strip():

@@ -238,11 +238,87 @@ def test_pdf_hex_text_and_exact_stream_slicing(tmp_path):
     jpg = _write_hex_pdf(p)
     with open(p, "rb") as f:
         full_text, rows, media = _parse_pdf_bytes("hex.pdf", f.read())
-    # Tj matches in stream order, then TJ-array items (existing behavior).
-    assert full_text.strip() == "Hex page. /FlateDecode mention and hex items."
+    # True stream order: the single sequential scan interleaves Tj and
+    # TJ-array items exactly as the content stream shows them (PyMuPDF
+    # parity; the old two-pass scan emitted all Tj first).
+    assert full_text.strip() == "Hex page. and hex items. /FlateDecode mention"
     # The indirect /Length sliced the image exactly: the embedded
     # "\r\nendstream" bytes did not truncate it.
     assert media == [("pdf://hex.pdf/obj8", "image/jpeg", jpg)]
+
+
+def _write_cid_pdf(path):
+    """One-page PDF with CID-keyed text: a Type0 font whose 2-byte hex codes
+    only decode through its /ToUnicode CMap (bfchar, increment bfrange AND
+    array bfrange), a simple font with a 1-byte CMap that remaps literal
+    strings, and a CMap-less font falling back to latin-1."""
+    cmap1 = (
+        b"/CIDInit /ProcSet findresource begin begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"4 beginbfchar\n<0041> <0048>\n<0042> <0065>\n<0043> <006F>\n"
+        b"<0044> <0064>\nendbfchar\n"
+        b"1 beginbfrange\n<0050> <0052> <006C>\nendbfrange\n"
+        b"1 beginbfrange\n<0060> <0061> [<0057006F> <0072>]\nendbfrange\n"
+        b"endcmap end\n"
+    )
+    cmap2 = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<58> <0021>\nendbfchar\nendcmap\n"
+    )
+    content = (
+        b"BT /F1 12 Tf <0041 0042 0050 0050 0043> Tj\n"
+        b"[<00600061 0050 0044>] TJ\n"
+        b"/F2 10 Tf (X) Tj\n"
+        b"/F3 10 Tf (plain) Tj ET"
+    )
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R /F2 10 0 R /F3 12 0 R >> >> "
+        b">> endobj\n",
+        b"4 0 obj << /Length %d >> stream\n" % len(content)
+        + content + b"\nendstream endobj\n",
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-CID "
+        b"/ToUnicode 6 0 R >> endobj\n",
+        b"6 0 obj << /Length %d >> stream\n" % len(cmap1)
+        + cmap1 + b"\nendstream endobj\n",
+        b"10 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Fake-Simple "
+        b"/ToUnicode 11 0 R >> endobj\n",
+        b"11 0 obj << /Length %d >> stream\n" % len(cmap2)
+        + cmap2 + b"\nendstream endobj\n",
+        b"12 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Fake-Plain "
+        b">> endobj\n",
+        b"%%EOF\n",
+    ]
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))
+
+
+def test_pdf_cid_tounicode_cmap(tmp_path):
+    from mmgraphrag_spark.sources.ingest import _parse_cmap, _parse_pdf_bytes
+
+    # unit: the three CMap section forms
+    cmap, width = _parse_cmap(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0041> <0048> endbfchar\n"
+        b"1 beginbfrange <0050> <0052> <006C> endbfrange\n"
+        b"1 beginbfrange <0060> <0061> [<0057006F> <0072>] endbfrange\n"
+    )
+    assert width == 2
+    assert cmap[0x41] == "H"
+    assert [cmap[c] for c in (0x50, 0x51, 0x52)] == ["l", "m", "n"]
+    assert cmap[0x60] == "Wo" and cmap[0x61] == "r"
+
+    p = str(tmp_path / "cid.pdf")
+    _write_cid_pdf(p)
+    with open(p, "rb") as f:
+        full_text, rows, media = _parse_pdf_bytes("cid.pdf", f.read())
+    # F1: CID hex codes through the CMap (Tj AND TJ-array, incl. the
+    # multi-char "Wo" array dst); F2: 1-byte CMap remaps the literal 'X';
+    # F3: no CMap -> latin-1 fallback.
+    assert full_text.strip() == "Hello World ! plain"
 
 
 def test_read_pdf_media_extracts_jpeg(spark, tmp_path):
