@@ -221,6 +221,41 @@ class LLMJudge:
         return None
 
 
+class LLMClusterFuser:
+    """L9 cluster-level fusion decision (reference fusion.py:459-545
+    judge_text_entity_alignment_clustering): ONE chat call per image KG,
+    shown every text cluster and all labeled image entities at once; the
+    reply is a JSON list of NEW merged entities, each carrying its
+    ``source_image_entities`` / ``source_text_entities``. Items missing
+    either source list are dropped — the reference filters identically
+    (fusion.py:539-544). Plug into
+    ``operators.fusion.cluster_fusion(clustered, entities, backend=...)``."""
+
+    def __init__(self, client: ChatClient):
+        self.client = client
+
+    def fuse(self, clusters: list[dict], image_entities: list[dict]) -> list[dict]:
+        if not clusters or not image_entities:
+            return []
+        msg = prompts.CLUSTER_FUSION.format(
+            clusters_json=json.dumps({"clusters": clusters}, ensure_ascii=False),
+            image_entities=json.dumps(image_entities, ensure_ascii=False),
+        )
+        reply = self.client.complete(
+            [
+                {"role": "system", "content": prompts.CLUSTER_FUSION_SYSTEM},
+                {"role": "user", "content": msg},
+            ]
+        )
+        return [
+            it
+            for it in salvage_json_list(reply)
+            if isinstance(it, dict)
+            and it.get("source_image_entities")
+            and it.get("source_text_entities")
+        ]
+
+
 class LLMAnswerer:
     """L11-L13 answer backends over a real ChatClient, drop-in for
     query.TemplateAnswerer (same answer/answer_image/merge protocol).

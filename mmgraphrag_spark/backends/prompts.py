@@ -82,6 +82,31 @@ Entities:
 {entity_list}"""
 
 # L11 — RAG answer (prompt.py:425-459)
+# L9 — cluster-level fusion decision (reference fusion.py:495-533 shows the
+# text clusters and the labeled image entities in one prompt and asks for a
+# merged-entity JSON list; the field names are the wire format its parser —
+# and ours — requires)
+CLUSTER_FUSION_SYSTEM = (
+    "You align image entities with text entities using their cluster labels "
+    "and descriptions, and merge matching ones accurately."
+)
+
+CLUSTER_FUSION = """Clusters of text entities, grouped by label:
+{clusters_json}
+
+Image entities, each tagged with the label of its cluster:
+{image_entities}
+
+For every image entity, compare its description and type with the text
+entities sharing its label. When an image entity and text entities describe
+the same thing, emit ONE merged entity combining their descriptions. Reply
+with ONLY a JSON list; each item must have exactly these fields:
+    {{"entity_name": "new merged entity name",
+      "entity_type": "type of the merged entity",
+      "description": "merged description of the entity",
+      "source_image_entities": ["matched image entity names"],
+      "source_text_entities": ["matched text entity names"]}}"""
+
 RAG_ANSWER = """Answer the question using only the context tables below.
 
 {context}

@@ -712,6 +712,248 @@ def enhance_unaligned(
 # 4. Connected components + contraction (J16)
 # ---------------------------------------------------------------------------
 
+def cluster_fusion(
+    clustered: DataFrame, entities: DataFrame, backend
+) -> DataFrame:
+    """L9: one backend.fuse call per block deciding cluster-level fusion
+    (reference fusion.py:459-545 judge_text_entity_alignment_clustering —
+    there the unit is one image's KG; here it is the blocking unit, which the
+    neighborhood path builds per image the same way).
+
+    Per block, members are gathered JVM-side into one row (text entities
+    grouped by cluster label, image entities with their labels — both sorted
+    by name so the prompt is deterministic under Spark's nondeterministic
+    collect order), then ONE Python call per block crosses the Arrow
+    boundary. Output: merged records
+    (block_id, entity_name, entity_type, description,
+    source_image_entities, source_text_entities) — the LLM invents the
+    merged name; apply with :func:`apply_cluster_fusion`.
+    """
+    enriched = clustered.join(
+        entities.select("entity_name", "entity_type", "description"),
+        "entity_name",
+        "left",
+    )
+    per_block = enriched.groupBy("block_id").agg(
+        F.collect_list(
+            F.struct("label", "kind", "entity_name", "entity_type", "description")
+        ).alias("members")
+    )
+
+    cols = (
+        "block_id entity_name entity_type description "
+        "source_image_entities source_text_entities"
+    ).split()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for bid, members in zip(pdf["block_id"], pdf["members"]):
+                clusters: dict = {}
+                imgs = []
+                for m in sorted(members, key=lambda m: m["entity_name"] or ""):
+                    rec = {
+                        "entity_name": m["entity_name"],
+                        "entity_type": m["entity_type"] or "",
+                        "description": m["description"] or "",
+                    }
+                    if m["kind"] == "img":
+                        imgs.append({**rec, "label": int(m["label"])})
+                    else:
+                        clusters.setdefault(int(m["label"]), []).append(rec)
+                cl = [
+                    {"label": k, "text_entities": v}
+                    for k, v in sorted(clusters.items())
+                ]
+                for it in backend.fuse(cl, imgs):
+                    out["block_id"].append(bid)
+                    out["entity_name"].append(str(it.get("entity_name", "")))
+                    out["entity_type"].append(str(it.get("entity_type", "")))
+                    out["description"].append(str(it.get("description", "")))
+                    out["source_image_entities"].append(
+                        [str(x) for x in it["source_image_entities"]]
+                    )
+                    out["source_text_entities"].append(
+                        [str(x) for x in it["source_text_entities"]]
+                    )
+            yield pd.DataFrame(out)
+
+    n_parts = clustered.sparkSession.sparkContext.defaultParallelism
+    return per_block.repartition(n_parts, "block_id").mapInPandas(
+        run,
+        "block_id string, entity_name string, entity_type string, "
+        "description string, source_image_entities array<string>, "
+        "source_text_entities array<string>",
+    )
+
+
+def apply_cluster_fusion(
+    entities: DataFrame,
+    edges: DataFrame,
+    merged: DataFrame,
+    extra_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply L9 merged records with the reference's merge_graphs semantics
+    (fusion.py:870-998): per record, every source entity contracts into the
+    FIRST image source; that node is then renamed to the LLM's
+    ensure_quoted merged name, its type/description become the LLM's merged
+    values, and its source_ids become img0's ++ txt0's (the reference joins
+    exactly those two nodes' source_id strings; we array-union them).
+    Overlapping records resolve through the deterministic CC machinery
+    instead of the reference's order-dependent sequential fold (same
+    documented deviation as alias_map, SURVEY §4). ``extra_pairs`` lets L10
+    enhancer renames ride the same contraction. ``merged`` is per-image LLM
+    output — tiny — so every join against it broadcasts.
+
+    Returns (entities, edges, aliases) where aliases maps every source
+    entity to its FINAL (post-rename) canonical name.
+    """
+    from mmgraphrag_spark.functions.text import ensure_quoted
+
+    recs = merged.select(
+        ensure_quoted(F.col("entity_name")).alias("_new"),
+        F.col("entity_type").alias("_ty"),
+        F.col("description").alias("_desc"),
+        F.col("source_image_entities").getItem(0).alias("_tgt"),
+        F.col("source_text_entities").getItem(0).alias("_txt0"),
+        F.array_distinct(
+            F.concat("source_image_entities", "source_text_entities")
+        ).alias("_sources"),
+    )
+    pairs = (
+        recs.select(F.explode("_sources").alias("alias"), F.col("_tgt").alias("canonical"))
+        .filter(F.col("alias") != F.col("canonical"))
+        .distinct()
+    )
+    if extra_pairs is not None:
+        pairs = pairs.unionByName(extra_pairs)
+    # Star fast-path (same probe as alias_map): records are disjoint stars
+    # unless a target is also someone's source or a source appears in two
+    # records — then resolve transitively, canonical = min target name in
+    # the component.
+    non_star = (
+        pairs.select(F.col("canonical").alias("x"))
+        .join(pairs.select(F.col("alias").alias("x")), "x", "left_semi")
+        .select(F.lit(1).alias("one"))
+        .unionAll(
+            pairs.groupBy("alias")
+            .agg(F.count_distinct("canonical").alias("c"))
+            .filter(F.col("c") > 1)
+            .select(F.lit(1).alias("one"))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    if non_star:
+        comp = connected_components(pairs)
+        canon = (
+            comp.join(
+                recs.select(F.col("_tgt").alias("entity_name")).distinct(),
+                "entity_name",
+            )
+            .groupBy("component")
+            .agg(F.min("entity_name").alias("canonical"))
+        )
+        pairs = (
+            comp.join(canon, "component")
+            .filter(F.col("entity_name") != F.col("canonical"))
+            .select(F.col("entity_name").alias("alias"), "canonical")
+        )
+
+    # per-target override (min-struct keeps it deterministic when two
+    # records share a target): new name, type, description, img0++txt0 ids
+    sids = entities.select("entity_name", F.col("source_ids").alias("_s"))
+    ov = (
+        recs.groupBy("_tgt")
+        .agg(F.min(F.struct("_new", "_ty", "_desc", "_txt0")).alias("o"))
+        .select(
+            "_tgt",
+            F.col("o._new").alias("_new"),
+            F.col("o._ty").alias("_ty"),
+            F.col("o._desc").alias("_desc"),
+            F.col("o._txt0").alias("_txt0"),
+        )
+        .join(F.broadcast(sids.withColumnRenamed("entity_name", "_tgt")), "_tgt", "left")
+        .withColumnRenamed("_s", "_img_sids")
+        .join(F.broadcast(sids.withColumnRenamed("entity_name", "_txt0")), "_txt0", "left")
+        .withColumn(
+            "_ov_sids",
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("_img_sids"), F.array().cast("array<string>")),
+                    F.coalesce(F.col("_s"), F.array().cast("array<string>")),
+                )
+            ),
+        )
+        .select("_tgt", "_new", "_ty", "_desc", "_ov_sids")
+    )
+
+    ents_c, edges_c = contract(entities, edges, pairs)
+    ents2 = (
+        ents_c.join(
+            F.broadcast(ov), ents_c["entity_name"] == ov["_tgt"], "left"
+        )
+        .select(
+            F.coalesce(F.col("_new"), F.col("entity_name")).alias("entity_name"),
+            F.coalesce(F.col("_ty"), F.col("entity_type")).alias("entity_type"),
+            F.coalesce(F.col("_desc"), F.col("description")).alias("description"),
+            F.coalesce(F.col("_ov_sids"), F.col("source_ids")).alias("source_ids"),
+        )
+        # a rename can collide with an existing node — re-merge those groups
+        .groupBy("entity_name")
+        .agg(
+            F.min("entity_type").alias("entity_type"),
+            F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
+                "description"
+            ),
+            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias(
+                "source_ids"
+            ),
+        )
+    )
+    rmap = ov.filter(F.col("_new") != F.col("_tgt")).select(
+        F.col("_tgt").alias("old"), F.col("_new").alias("new")
+    )
+    e = (
+        edges_c.join(
+            F.broadcast(rmap.withColumnRenamed("old", "src")), "src", "left"
+        )
+        .withColumnRenamed("new", "_ns")
+        .join(F.broadcast(rmap.withColumnRenamed("old", "tgt")), "tgt", "left")
+        .withColumn("_s2", F.coalesce(F.col("_ns"), F.col("src")))
+        .withColumn("_t2", F.coalesce(F.col("new"), F.col("tgt")))
+        .filter(F.col("_s2") != F.col("_t2"))
+    )
+    edges2 = (
+        e.groupBy(
+            F.least("_s2", "_t2").alias("src"), F.greatest("_s2", "_t2").alias("tgt")
+        )
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
+                "description"
+            ),
+            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias(
+                "source_ids"
+            ),
+            F.min("order").alias("order"),
+        )
+        .select("src", "tgt", "weight", "description", "source_ids", "order")
+    )
+    aliases = (
+        pairs.join(
+            F.broadcast(rmap.withColumnRenamed("old", "canonical")),
+            "canonical",
+            "left",
+        )
+        .select(
+            "alias", F.coalesce(F.col("new"), F.col("canonical")).alias("canonical")
+        )
+    )
+    return ents2, edges2, aliases
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Hash-min label propagation over undirected (alias, canonical) pairs.
 

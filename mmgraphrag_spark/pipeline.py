@@ -42,6 +42,7 @@ def run_pipeline(
     describer=None,
     tokenizer=None,
     enhancer=None,
+    cluster_fuser=None,
     media_bytes: DataFrame | None = None,
     chunk_max_tokens: int = 1200,
     chunk_overlap: int = 100,
@@ -179,6 +180,67 @@ def run_pipeline(
         M.summarize_long_descriptions(entities, backend=summarizer),
     )
 
+    # L9 cluster-fusion mode: the fuser's merged records (LLM-invented names
+    # + merged attrs) replace the pair-judge -> alias_map -> contract tail.
+    if cluster_fuser is not None:
+        merged = build_aliases(
+            entities, edges, ents_m, img_ents_m, media, occurrences,
+            window=fusion_window, max_block=max_block, checkpointer=cp,
+            blocking=blocking, cluster_fuser=cluster_fuser,
+        )
+        extra = None
+        if enhancer is not None:
+            # aligned = every entity named in a source list (incl. the img0
+            # target); the rest of the image entities are L10 candidates
+            aligned = merged.select(
+                F.explode(
+                    F.concat("source_image_entities", "source_text_entities")
+                ).alias("alias")
+            )
+            enh = cp.stage(
+                "enhanced_unaligned",
+                FU.enhance_unaligned(entities, aligned, enhancer),
+            )
+            entities = (
+                entities.join(
+                    enh.select("entity_name", "enhanced_description"),
+                    "entity_name",
+                    "left",
+                )
+                .withColumn(
+                    "description",
+                    F.coalesce(F.col("enhanced_description"), F.col("description")),
+                )
+                .drop("enhanced_description")
+            )
+            extra = enh.filter(
+                F.col("enhanced_name") != F.col("entity_name")
+            ).select(
+                F.col("entity_name").alias("alias"),
+                F.col("enhanced_name").alias("canonical"),
+            )
+        entities_f, edges_f, aliases = FU.apply_cluster_fusion(
+            entities, edges, merged, extra_pairs=extra
+        )
+        aliases = cp.stage_light("aliases", aliases)
+        entities_f = cp.stage("entities", entities_f)
+        edges_f = cp.stage("edges", edges_f)
+        triples = M.triples_view(edges_f)
+        return {
+            "spans": spans,
+            "chunks": chunks,
+            "media_spans": media,
+            "mentions": mentions,
+            "entities": entities_f,
+            "edges": edges_f,
+            "triples": triples,
+            "aliases": aliases,
+            "cluster_fused": merged,
+            "entities_prefusion": entities,
+            "edges_prefusion": edges,
+            "checkpointer": cp,
+        }
+
     aliases = build_aliases(
         entities, edges, ents_m, img_ents_m, media, occurrences,
         window=fusion_window, max_block=max_block, checkpointer=cp,
@@ -243,8 +305,14 @@ def build_aliases(
     checkpointer=None,
     blocking: str = "neighborhood",
     judge_backend=None,
+    cluster_fuser=None,
 ) -> DataFrame:
     """Fusion stages 1-4 -> alias map (alias -> canonical).
+
+    ``cluster_fuser`` set (L9 mode): stages 1-2 run identically, then ONE
+    fuser call per block replaces the per-pair judge, and the return value
+    is the merged-record DataFrame (durable-committed — LLM-paid) for
+    :func:`operators.fusion.apply_cluster_fusion`, not an alias map.
 
     blocking="neighborhood" (parity path): one block per media span containing
     its image entities + text entities within ±window span offsets (J3).
@@ -341,6 +409,12 @@ def build_aliases(
     clustered = cp.stage(
         "fusion_clusters", FU.spectral_cluster_blocks(members, block_edges)
     )
+    if cluster_fuser is not None:
+        # durable commit: one paid, nondeterministic LLM call per block —
+        # resume must read the verdicts back (same rule as alias_pairs)
+        return cp.stage(
+            "cluster_fused", FU.cluster_fusion(clustered, entities, cluster_fuser)
+        )
     # alias pairs/maps are a few rows — light commits (plan cut only); a
     # durable parquet round-trip per tiny stage is pure fixed overhead.
     # EXCEPT when an LLM judge is plugged in: its verdicts are paid and

@@ -57,6 +57,11 @@ def main() -> None:
                         "LLMJudge and LLMSummarizer")
     p.add_argument("--llm-api-key", default=os.environ.get("OPENAI_API_KEY", ""))
     p.add_argument("--llm-model", default="gpt-4o-mini")
+    p.add_argument("--cluster-fusion", action="store_true",
+                   help="L9 alignment mode: one LLM fusion decision per "
+                        "block over all clusters (reference "
+                        "judge_text_entity_alignment_clustering) instead of "
+                        "the per-pair judge; requires --llm-base-url")
     p.add_argument("--max-gleaning", type=int, default=1)
     p.add_argument("--tokenizer", default="auto", choices=["auto", "regex"],
                    help="'auto' uses tiktoken when installed (P9), else the "
@@ -87,10 +92,11 @@ def main() -> None:
 
         docs = interleave_from_flat(docs)
 
-    extractor = judge = summarizer = None
+    extractor = judge = summarizer = fuser = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import (
             ChatClient,
+            LLMClusterFuser,
             LLMExtractor,
             LLMJudge,
             LLMSummarizer,
@@ -100,8 +106,13 @@ def main() -> None:
             args.llm_base_url, api_key=args.llm_api_key, model=args.llm_model
         )
         extractor = LLMExtractor(client, max_gleaning=args.max_gleaning)
-        judge = LLMJudge(client)
         summarizer = LLMSummarizer(client)
+        if args.cluster_fusion:
+            fuser = LLMClusterFuser(client)
+        else:
+            judge = LLMJudge(client)
+    elif args.cluster_fusion:
+        raise SystemExit("--cluster-fusion requires --llm-base-url")
 
     tokenizer = None
     if args.tokenizer == "auto":
@@ -127,6 +138,7 @@ def main() -> None:
         blocking=args.blocking,
         checkpointer=ParquetCheckpointer(spark, args.checkpoint),
         judge_backend=judge,
+        cluster_fuser=fuser,
         summarizer=summarizer,
         tokenizer=tokenizer,
         chunk_max_tokens=args.chunk_tokens,

@@ -334,6 +334,172 @@ def test_pipeline_enhancer_renames_unaligned(spark, documents_df, pipeline_out):
     assert got_text == base_text
 
 
+def test_llm_cluster_fuser_unit():
+    """Driver-side unit (L9): one chat call carrying every cluster and all
+    labeled image entities; the JSON-list reply is salvaged and items missing
+    either source list are dropped (reference fusion.py:539-544)."""
+    import json as _json
+
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        LLMClusterFuser,
+        ScriptedTransport,
+    )
+
+    reply = _json.dumps(
+        [
+            {
+                "entity_name": "Apple Inc",
+                "entity_type": '"ORG"',
+                "description": "merged",
+                "source_image_entities": ['"APPLE (LOGO)"'],
+                "source_text_entities": ['"APPLE"'],
+            },
+            {  # no text sources -> dropped
+                "entity_name": "Chair",
+                "entity_type": '"OBJ"',
+                "description": "x",
+                "source_image_entities": ['"CHAIR"'],
+                "source_text_entities": [],
+            },
+        ]
+    )
+    transport = ScriptedTransport([reply])
+    fuser = LLMClusterFuser(ChatClient("http://fake", transport=transport))
+    clusters = [
+        {"label": 0, "text_entities": [
+            {"entity_name": '"APPLE"', "entity_type": '"ORG"', "description": "fruit co"}
+        ]}
+    ]
+    imgs = [
+        {"entity_name": '"APPLE (LOGO)"', "entity_type": '"IMG_ENTITY"',
+         "description": "a logo", "label": 0}
+    ]
+    out = fuser.fuse(clusters, imgs)
+    assert [o["entity_name"] for o in out] == ["Apple Inc"]
+    # one call; system role + both structures in the user prompt
+    (msgs,) = transport.calls
+    assert msgs[0]["role"] == "system"
+    # entity names ride as JSON (inner record-grammar quotes escaped)
+    assert '\\"APPLE\\"' in msgs[1]["content"]
+    assert '\\"APPLE (LOGO)\\"' in msgs[1]["content"]
+    # empty inputs never spend a call
+    assert fuser.fuse([], imgs) == [] and len(transport.calls) == 1
+
+
+def test_cluster_fusion_and_apply(spark):
+    """L9 end-to-end over DataFrames: one fuse call per block (members
+    sorted, text entities grouped by label), then apply_cluster_fusion
+    contracts every source into the first image source, renames it to the
+    quoted LLM name, overrides type/description, and sets source_ids to
+    img0's ++ txt0's (reference merge_graphs, fusion.py:870-998)."""
+    clustered = spark.createDataFrame(
+        [
+            ("b1", '"IMG_A"', "img", 0),
+            ("b1", '"ALPHA"', "text", 0),
+            ("b1", '"BETA"', "text", 1),
+        ],
+        ["block_id", "entity_name", "kind", "label"],
+    )
+    entities = spark.createDataFrame(
+        [
+            ('"IMG_A"', '"IMG_ENTITY"', "img desc", ["m1"]),
+            ('"ALPHA"', '"PERSON"', "alpha desc", ["c1"]),
+            ('"BETA"', '"GEO"', "beta desc", ["c2"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+
+    class MatchFirstFuser:
+        """Deterministic stand-in: merge each image entity with the first
+        text entity sharing its label."""
+
+        def fuse(self, clusters, image_entities):
+            by_label = {c["label"]: c["text_entities"] for c in clusters}
+            out = []
+            for img in image_entities:
+                texts = by_label.get(img["label"])
+                if texts:
+                    out.append(
+                        {
+                            "entity_name": "Alpha Person",
+                            "entity_type": '"PERSON"',
+                            "description": "merged desc",
+                            "source_image_entities": [img["entity_name"]],
+                            "source_text_entities": [texts[0]["entity_name"]],
+                        }
+                    )
+            return out
+
+    merged = FU.cluster_fusion(clustered, entities, MatchFirstFuser())
+    recs = merged.collect()
+    assert len(recs) == 1
+    assert recs[0].source_image_entities == ['"IMG_A"']
+    assert recs[0].source_text_entities == ['"ALPHA"']
+
+    edges = spark.createDataFrame(
+        [
+            ('"IMG_A"', '"BETA"', 2.0, "r1", ["m1"], 1),
+            ('"ALPHA"', '"BETA"', 3.0, "r2", ["c1"], 1),
+            ('"ALPHA"', '"IMG_A"', 1.0, "r3", ["c1"], 1),  # becomes a self-loop
+        ],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    ents2, edges2, aliases = FU.apply_cluster_fusion(entities, edges, merged)
+    e = {r.entity_name: r for r in ents2.collect()}
+    assert set(e) == {'"Alpha Person"', '"BETA"'}  # quoted LLM name
+    assert e['"Alpha Person"'].entity_type == '"PERSON"'
+    assert e['"Alpha Person"'].description == "merged desc"  # LLM override
+    assert e['"Alpha Person"'].source_ids == ["m1", "c1"]  # img0 ++ txt0
+    g = edges2.collect()
+    assert len(g) == 1  # parallel edges merged, self-loop dropped
+    assert {g[0].src, g[0].tgt} == {'"Alpha Person"', '"BETA"'}
+    assert g[0].weight == 5.0
+    assert {(r.alias, r.canonical) for r in aliases.collect()} == {
+        ('"ALPHA"', '"Alpha Person"')
+    }
+
+
+def test_pipeline_cluster_fuser_mode(spark, documents_df, pipeline_out):
+    """Pipeline wiring: cluster_fuser mode replaces the judge/contract tail —
+    merged names appear in the final entities, aliases map sources to the
+    final names, and blocks with no merge decisions pass through unchanged."""
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    class PrefixFuser:
+        """Merge each image entity with the first same-label text entity
+        under an invented FUSED_ name."""
+
+        def fuse(self, clusters, image_entities):
+            by_label = {c["label"]: c["text_entities"] for c in clusters}
+            out = []
+            for img in image_entities:
+                texts = by_label.get(img["label"])
+                if texts:
+                    tname = texts[0]["entity_name"].strip('"')
+                    out.append(
+                        {
+                            "entity_name": f"FUSED_{tname}",
+                            "entity_type": '"PERSON"',
+                            "description": "cluster-fused",
+                            "source_image_entities": [img["entity_name"]],
+                            "source_text_entities": [texts[0]["entity_name"]],
+                        }
+                    )
+            return out
+
+    out = run_pipeline(spark, documents_df, cluster_fuser=PrefixFuser())
+    names = {r.entity_name for r in out["entities"].collect()}
+    fused = {n for n in names if n.startswith('"FUSED_')}
+    assert fused, "expected at least one cluster-fused entity"
+    ali = {(r.alias, r.canonical) for r in out["aliases"].collect()}
+    assert all(c in names for _, c in ali)
+    # the merged records surface for audit
+    assert out["cluster_fused"].count() == len(fused) or out[
+        "cluster_fused"
+    ].count() >= len(fused)
+
+
 def test_dbscan_eps_reference_semantics():
     """M5 faithful DBSCAN (driver-side unit, controlled coordinates):
     min_samples gates core status (self counted, sklearn-style), border
