@@ -150,13 +150,22 @@ def salvage_json_list(output: str) -> list:
 
 def _with_image_part(text: str, image_b64: str | None):
     """OpenAI multimodal content: plain string without an image, else a
-    [text, image_url] part list with the full base64 as a data: URI."""
+    [text, image_url] part list with the full base64 as a data: URI. The
+    mime is sniffed from the base64'd magic bytes (PNG/GIF/WEBP from DOCX
+    and PDF XObjects are common) so strict endpoints that validate the
+    declared content type accept the payload; JPEG is the fallback."""
     if not image_b64:
         return text
+    mime = (
+        "image/png" if image_b64.startswith("iVBOR")
+        else "image/gif" if image_b64.startswith("R0lGOD")
+        else "image/webp" if image_b64.startswith("UklGR")
+        else "image/jpeg"
+    )
     return [
         {"type": "text", "text": text},
         {"type": "image_url",
-         "image_url": {"url": f"data:image/jpeg;base64,{image_b64}"}},
+         "image_url": {"url": f"data:{mime};base64,{image_b64}"}},
     ]
 
 

@@ -803,10 +803,16 @@ def apply_cluster_fusion(
     instead of the reference's order-dependent sequential fold (same
     documented deviation as alias_map, SURVEY §4). ``extra_pairs`` lets L10
     enhancer renames ride the same contraction. ``merged`` is per-image LLM
-    output — tiny — so every join against it broadcasts.
+    output — tiny — so the small frames derived from it (pairs, overrides,
+    rename map) are the BROADCAST sides everywhere; they are materialized
+    once (localCheckpoint) because each feeds several broadcast builds and a
+    broadcast build re-executes its sub-plan (CLAUDE.md rule 8). The big
+    entities table is never broadcast — its source_ids lookup is left-semi
+    pruned to the handful of img0/txt0 keys first.
 
     Returns (entities, edges, aliases) where aliases maps every source
-    entity to its FINAL (post-rename) canonical name.
+    entity — including the renamed target itself — to its FINAL
+    (post-rename) canonical name.
     """
     from mmgraphrag_spark.functions.text import ensure_quoted
 
@@ -819,7 +825,7 @@ def apply_cluster_fusion(
         F.array_distinct(
             F.concat("source_image_entities", "source_text_entities")
         ).alias("_sources"),
-    )
+    ).localCheckpoint()
     pairs = (
         recs.select(F.explode("_sources").alias("alias"), F.col("_tgt").alias("canonical"))
         .filter(F.col("alias") != F.col("canonical"))
@@ -846,24 +852,55 @@ def apply_cluster_fusion(
         > 0
     )
     if non_star:
+        # canonical per component: prefer a record target (img0), then a
+        # node that was a canonical in the input pairs (e.g. an enhancer
+        # rename target — a rename-only component has no record target and
+        # must NOT be dropped), else the min member name.
         comp = connected_components(pairs)
+        tgts = (
+            recs.select(F.col("_tgt").alias("entity_name"))
+            .distinct()
+            .withColumn("_t0", F.lit(0))
+        )
+        cans = (
+            pairs.select(F.col("canonical").alias("entity_name"))
+            .distinct()
+            .withColumn("_c1", F.lit(1))
+        )
         canon = (
-            comp.join(
-                recs.select(F.col("_tgt").alias("entity_name")).distinct(),
-                "entity_name",
-            )
+            comp.join(F.broadcast(tgts), "entity_name", "left")
+            .join(F.broadcast(cans), "entity_name", "left")
+            .withColumn("_p", F.coalesce("_t0", "_c1", F.lit(2)))
             .groupBy("component")
-            .agg(F.min("entity_name").alias("canonical"))
+            .agg(
+                F.min(F.struct(F.col("_p"), F.col("entity_name").alias("n")))
+                .getField("n")
+                .alias("canonical")
+            )
         )
         pairs = (
             comp.join(canon, "component")
             .filter(F.col("entity_name") != F.col("canonical"))
             .select(F.col("entity_name").alias("alias"), "canonical")
         )
+    # pairs feeds three broadcast builds inside contract() plus the aliases
+    # output — materialize once (tiny)
+    pairs = pairs.localCheckpoint()
 
     # per-target override (min-struct keeps it deterministic when two
-    # records share a target): new name, type, description, img0++txt0 ids
-    sids = entities.select("entity_name", F.col("source_ids").alias("_s"))
+    # records share a target): new name, type, description, img0++txt0 ids.
+    # The source_ids lookup left-semi-prunes the BIG entities table down to
+    # the few img0/txt0 keys (broadcasting the keys, never the table).
+    keys = (
+        recs.select(F.col("_tgt").alias("entity_name"))
+        .unionByName(recs.select(F.col("_txt0").alias("entity_name")))
+        .distinct()
+    )
+    sids = (
+        entities.select("entity_name", F.col("source_ids").alias("_s"))
+        .join(F.broadcast(keys), "entity_name", "left_semi")
+        .localCheckpoint()
+    )
     ov = (
         recs.groupBy("_tgt")
         .agg(F.min(F.struct("_new", "_ty", "_desc", "_txt0")).alias("o"))
@@ -887,6 +924,7 @@ def apply_cluster_fusion(
             ),
         )
         .select("_tgt", "_new", "_ty", "_desc", "_ov_sids")
+        .localCheckpoint()  # feeds ents2 + two edge joins + the rename map
     )
 
     ents_c, edges_c = contract(entities, edges, pairs)
@@ -912,8 +950,14 @@ def apply_cluster_fusion(
             ),
         )
     )
-    rmap = ov.filter(F.col("_new") != F.col("_tgt")).select(
-        F.col("_tgt").alias("old"), F.col("_new").alias("new")
+    # rename only targets that SURVIVED contraction: under CC resolution a
+    # record's target can itself be aliased into another component canonical
+    # — renaming the dead name would emit alias rows pointing at an entity
+    # that never materializes
+    rmap = (
+        ov.filter(F.col("_new") != F.col("_tgt"))
+        .join(pairs.select(F.col("alias").alias("_tgt")), "_tgt", "left_anti")
+        .select(F.col("_tgt").alias("old"), F.col("_new").alias("new"))
     )
     e = (
         edges_c.join(
@@ -950,6 +994,12 @@ def apply_cluster_fusion(
         .select(
             "alias", F.coalesce(F.col("new"), F.col("canonical")).alias("canonical")
         )
+        # the renamed target itself also resolves to its final name — without
+        # this row a lookup of img0 against the fused graph would dangle
+        .unionByName(
+            rmap.select(F.col("old").alias("alias"), F.col("new").alias("canonical"))
+        )
+        .distinct()
     )
     return ents2, edges2, aliases
 

@@ -177,6 +177,31 @@ def kmeans_fit(
     return centroids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the IVF index ONCE for reuse across queries: (centroids, inverted
+    file). The k-means fit and the full-corpus assignment are the expensive
+    parts of ivf_topk — a query service must not repeat them per question
+    (the reference builds its VDB once at indexing time, storage.py:125-155).
+    Both frames are materialized (localCheckpoint); persist them to parquet
+    instead when the corpus outgrows executor storage — the shape is the
+    same."""
+    centroids = kmeans_fit(
+        corpus, k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    inverted = (
+        assign_nearest_centroid(corpus, centroids, id_col, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "label")
+        .localCheckpoint()
+    )
+    return centroids, inverted
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -187,23 +212,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: fit the coarse quantizer, bucket the corpus by
     nearest centroid (the inverted file), probe each query's ``n_probe``
     nearest cells, exact cosine within the probed cells only.
     ``broadcast_queries=False`` switches the probe join to a shuffle hash
-    join for query sides too large to broadcast.
+    join for query sides too large to broadcast. Pass ``index`` (from
+    :func:`build_ivf_index`) to reuse a prebuilt quantizer + inverted file
+    instead of refitting per call — the per-query cost is then just the
+    probe joins.
 
     Scale shape: the corpus-side join key is the cell label (single hash
     shuffle, cells ~N/n_centroids); queries explode x n_probe. At 100 TB
     raise n_centroids so cells stay bounded — the plan is unchanged. Same
     output shape as brute_force_topk; recall vs brute force is asserted in
     pytest (approximate results have no SQL oracle)."""
-    centroids = kmeans_fit(corpus, k=n_centroids, max_iter=max_iter,
-                           id_col=id_col, vec_col=vec_col)
-    inverted = assign_nearest_centroid(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "label"
-    )
+    if index is not None:
+        centroids, inverted = index
+    else:
+        centroids = kmeans_fit(corpus, k=n_centroids, max_iter=max_iter,
+                               id_col=id_col, vec_col=vec_col)
+        inverted = assign_nearest_centroid(corpus, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "label"
+        )
     c = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_ctr"))
     qcells = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))

@@ -82,7 +82,9 @@ def _rank_bounded(scored: DataFrame, top_k: int) -> DataFrame:
     optimizer can't fold away (a plain lit would be), so the single partition
     reads as INTENTIONAL (input bounded by construction) instead of tripping
     Spark's "No Partition Defined" scale warning on a k-row input."""
-    one_group = F.length("entity_name") * 0
+    # NULL-safe: a NULL name must not open a second window partition (two
+    # independent rnk sequences) — coalesce keeps every row in the one group
+    one_group = F.coalesce(F.length("entity_name"), F.lit(0)) * 0
     w = Window.partitionBy(one_group).orderBy(F.desc("sim"), F.asc("entity_name"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -120,13 +122,16 @@ def ann_entities_approx(
     n_bits: int = 8,
     n_centroids: int = 16,
     n_probe: int = 4,
+    ann_index=None,
 ) -> DataFrame:
     """Scale-path ANN over the entity VDB: route the single query vector
     through similarity.lsh_topk (sign-bit multi-probe buckets) or
     similarity.ivf_topk (k-means inverted file) instead of scanning the full
     VDB. Same output shape as ann_entities; approximate recall (asserted vs
     exact in tests). Raise n_bits / n_centroids as the VDB grows — the plan
-    shape is unchanged (bounded bucket equi-join)."""
+    shape is unchanged (bounded bucket equi-join). ``ann_index`` (mode
+    "ivf": the result of similarity.build_ivf_index over this VDB) skips the
+    per-call quantizer fit — a query service builds the index once."""
     from mmgraphrag_spark.operators import similarity as SIM
 
     spark = vdb.sparkSession
@@ -141,7 +146,8 @@ def ann_entities_approx(
         hits = SIM.lsh_topk(corpus, qdf, k=top_k, n_bits=n_bits)
     elif mode == "ivf":
         hits = SIM.ivf_topk(
-            corpus, qdf, k=top_k, n_centroids=n_centroids, n_probe=n_probe
+            corpus, qdf, k=top_k, n_centroids=n_centroids, n_probe=n_probe,
+            index=ann_index,
         )
     else:
         raise ValueError(f"unknown ann mode: {mode!r}")
@@ -225,7 +231,7 @@ def related_text_units(
     # the running token sum is inherently sequential. The non-foldable
     # constant partition key documents that — no "No Partition Defined"
     # scale warning (a plain lit would be optimized away).
-    w = Window.partitionBy(F.length("chunk_id") * 0).orderBy(
+    w = Window.partitionBy(F.coalesce(F.length("chunk_id"), F.lit(0)) * 0).orderBy(
         F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id")
     )
     cum = (
@@ -263,7 +269,7 @@ def related_edges(
     )
     # bounded input (seed edges only) + sequential budget sum: intentional
     # single partition, marked as in related_text_units
-    w = Window.partitionBy(F.length("src") * 0).orderBy(
+    w = Window.partitionBy(F.coalesce(F.length("src"), F.lit(0)) * 0).orderBy(
         F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt")
     )
     toks = F.size(F.split(F.col("description"), r"\s+"))
@@ -388,6 +394,7 @@ def local_query(
     log_dir: str | None = None,
     embed_backend=None,
     ann_mode: str = "exact",
+    ann_index=None,
     media: DataFrame | None = None,
 ) -> dict:
     """End-to-end local query over a run_pipeline() output dict.
@@ -396,7 +403,10 @@ def local_query(
     question — they must share a space for the cosine ranking to mean
     anything. ``ann_mode`` picks the VDB ranking plan: "exact" (distributed
     top-k full scan — the correctness baseline), "lsh" or "ivf" (bucketed
-    approximate scans for VDBs too large to scan per query). ``media`` is an
+    approximate scans for VDBs too large to scan per query; pass
+    ``ann_index`` from similarity.build_ivf_index to reuse one fitted
+    quantizer across calls — refitting per question defeats the purpose).
+    ``media`` is an
     optional (media_ref, content binary) table; when given, ranked ORI_IMG
     seeds carry their base64 image bytes into the multimodal answer branch.
     Returns {"seeds", "text_units", "edges", "context", "answer"}."""
@@ -410,7 +420,10 @@ def local_query(
     if ann_mode == "exact":
         ann = ann_entities(vdb, qv, top_k=top_k, threshold=threshold)
     else:
-        ann = ann_entities_approx(vdb, qv, top_k=top_k, threshold=threshold, mode=ann_mode)
+        ann = ann_entities_approx(
+            vdb, qv, top_k=top_k, threshold=threshold, mode=ann_mode,
+            ann_index=ann_index,
+        )
     ann = ann.localCheckpoint()
     # degrees are a full edge scan + shuffle consumed by BOTH the seed
     # rehydration and the edge ranking — compute once per query
@@ -427,8 +440,18 @@ def local_query(
     payloads = _mm_image_payloads(seeds, media)
     mm = [name for name, _ in payloads]
     if mm:
+        # third-party answerers written to the pre-round-3 3-arg protocol
+        # (no image_b64) keep working — only pass bytes the backend can take
+        import inspect
+
+        params = inspect.signature(backend.answer_image).parameters
+        takes_b64 = "image_b64" in params or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
         img_answers = [
             backend.answer_image(question, name, context, image_b64=b64)
+            if takes_b64
+            else backend.answer_image(question, name, context)
             for name, b64 in payloads
         ]
         answer = backend.merge(question, [answer] + img_answers)

@@ -398,7 +398,11 @@ def _parse_cmap(data: bytes):
                 draw = b"\x00" + draw
             dlo = int.from_bytes(draw, "big") if draw else 0
             for off in range(min(hi - lo, 0xFFFF) + 1):
-                cmap[lo + off] = (dlo + off).to_bytes(len(draw) or 2, "big").decode(
+                val = dlo + off
+                # widen past the declared dst width when the increment
+                # overflows it (malformed-but-seen CMaps) — never raise
+                nb = max(len(draw) or 2, ((val.bit_length() + 15) // 16) * 2)
+                cmap[lo + off] = val.to_bytes(nb, "big").decode(
                     "utf-16-be", errors="replace"
                 )
     return cmap, (width or 1)
@@ -531,7 +535,11 @@ def _parse_pdf_bytes(name: str, blob: bytes):
         if mc and int(mc.group(1)) in objs:
             content = _pdf_stream(objs[int(mc.group(1))], objs)
             if content:
-                text = _pdf_page_text(content, _page_fonts(objs, body, tree_body))
+                try:
+                    fonts = _page_fonts(objs, body, tree_body)
+                except Exception:
+                    fonts = {}  # malformed font dicts degrade to latin-1
+                text = _pdf_page_text(content, fonts)
         texts.append(text)
         sord = 0
         if text.strip():

@@ -181,6 +181,16 @@ class IncrementalIndexer:
         # doubles as the media-position table (same key set).
         def _acc(name: str, delta: DataFrame) -> DataFrame:
             prior = self._load(v, name)
+            if prior is None and v >= 0:
+                # prior state exists but was written by a version without
+                # this table: the accumulated set CANNOT be reconstructed
+                # from here, so poison finalize_fused (which would otherwise
+                # silently fuse over this batch's mentions only) while
+                # letting the A1/A2 stream continue
+                with open(
+                    os.path.join(self.state_dir, "FUSION_TABLES_INCOMPLETE"), "w"
+                ) as f:
+                    f.write(name)
             return (
                 prior.unionByName(delta).distinct() if prior is not None
                 else delta.distinct()
@@ -262,10 +272,13 @@ class IncrementalIndexer:
         img_ment = self._load(v, "img_ment")
         chunk_occ = self._load(v, "chunk_occ")
         media_occ = self._load(v, "seen_media")
-        if any(t is None for t in (text_ment, img_ment, chunk_occ, media_occ)):
+        if any(t is None for t in (text_ment, img_ment, chunk_occ, media_occ)) or (
+            os.path.exists(os.path.join(self.state_dir, "FUSION_TABLES_INCOMPLETE"))
+        ):
             raise ValueError(
                 "state predates the fusion tables (text_ment/img_ment/"
-                "chunk_occ); re-index with this version to use finalize_fused"
+                "chunk_occ) for at least one committed batch; re-index with "
+                "this version to use finalize_fused"
             )
         aliases = build_aliases(
             entities, edges, text_ment, img_ment, media_occ, chunk_occ,

@@ -55,12 +55,16 @@ def main() -> None:
         name: spark.read.parquet(os.path.join(args.kg, name))
         for name in ("entities", "edges", "chunks")
     }
-    media_path = args.media or os.path.join(args.kg, "media")
-    media = (
-        spark.read.parquet(media_path)
-        if os.path.isdir(media_path)
-        else None
-    )
+    # an EXPLICIT --media is always read (it may be a remote path isdir can't
+    # see — a read failure should surface, not silently drop the images);
+    # only the implicit <kg>/media default probes and tolerates absence
+    if args.media:
+        media = spark.read.parquet(args.media)
+    else:
+        try:
+            media = spark.read.parquet(os.path.join(args.kg, "media"))
+        except Exception:
+            media = None
     answerer = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer
@@ -68,6 +72,20 @@ def main() -> None:
         answerer = LLMAnswerer(
             ChatClient(args.llm_base_url, api_key=args.llm_api_key, model=args.llm_model)
         )
+    # ivf: fit the quantizer + inverted file ONCE up front (reusable across
+    # questions in a service loop) instead of per local_query call
+    ann_index = None
+    vdb = None
+    if args.ann_mode == "ivf":
+        from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
+        from mmgraphrag_spark.operators.similarity import build_ivf_index
+        from mmgraphrag_spark.query import build_entity_vdb
+
+        vdb = build_entity_vdb(kg["entities"], backend=HashEmbedBackend()).localCheckpoint()
+        corpus = vdb.select(
+            vdb.entity_name.alias("vec_id"), vdb.vec.alias("embedding")
+        )
+        ann_index = build_ivf_index(corpus)
     out = local_query(
         spark,
         kg,
@@ -75,8 +93,10 @@ def main() -> None:
         top_k=args.top_k,
         threshold=args.threshold,
         answerer=answerer,
+        vdb=vdb,
         log_dir=args.log_dir,
         ann_mode=args.ann_mode,
+        ann_index=ann_index,
         media=media,
     )
     print("ANSWER:")

@@ -456,8 +456,54 @@ def test_cluster_fusion_and_apply(spark):
     assert {g[0].src, g[0].tgt} == {'"Alpha Person"', '"BETA"'}
     assert g[0].weight == 5.0
     assert {(r.alias, r.canonical) for r in aliases.collect()} == {
-        ('"ALPHA"', '"Alpha Person"')
+        ('"ALPHA"', '"Alpha Person"'),
+        ('"IMG_A"', '"Alpha Person"'),  # the renamed target resolves too
     }
+
+
+def test_apply_cluster_fusion_cc_path_keeps_rename_pairs(spark):
+    """Overlapping merge records force the CC path; an enhancer rename pair
+    whose component contains NO record target must still apply (canonical
+    preference: record target > input canonical > min name)."""
+    entities = spark.createDataFrame(
+        [
+            ('"I1"', '"IMG_ENTITY"', "i1", ["m1"]),
+            ('"I2"', '"IMG_ENTITY"', "i2", ["m2"]),
+            ('"I3"', '"IMG_ENTITY"', "i3", ["m3"]),
+            ('"T1"', '"PERSON"', "t1", ["c1"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [('"I3"', '"T1"', 1.0, "r", ["c1"], 1)],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    # T1 appears in BOTH records (alias with two canonicals -> non-star)
+    merged = spark.createDataFrame(
+        [
+            ("Person One", '"PERSON"', "d1", ['"I1"'], ['"T1"']),
+            ("Person Two", '"PERSON"', "d2", ['"I2"'], ['"T1"']),
+        ],
+        [
+            "entity_name", "entity_type", "description",
+            "source_image_entities", "source_text_entities",
+        ],
+    )
+    renames = spark.createDataFrame([('"I3"', '"I3X"')], ["alias", "canonical"])
+    ents2, edges2, aliases = FU.apply_cluster_fusion(
+        entities, edges, merged, extra_pairs=renames
+    )
+    ali = {(r.alias, r.canonical) for r in aliases.collect()}
+    # the rename survived the CC resolution (round-3 review fix)
+    assert ('"I3"', '"I3X"') in ali
+    names = {r.entity_name for r in ents2.collect()}
+    assert '"I3X"' in names and '"I3"' not in names
+    # the shared component contracted into the min record target, renamed
+    assert '"Person One"' in names
+    assert not {'"I1"', '"I2"', '"T1"'} & names
+    # the edge followed the rename
+    g = edges2.collect()
+    assert {g[0].src, g[0].tgt} == {'"I3X"', '"Person One"'}
 
 
 def test_pipeline_cluster_fuser_mode(spark, documents_df, pipeline_out):

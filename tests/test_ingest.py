@@ -311,6 +311,13 @@ def test_pdf_cid_tounicode_cmap(tmp_path):
     assert [cmap[c] for c in (0x50, 0x51, 0x52)] == ["l", "m", "n"]
     assert cmap[0x60] == "Wo" and cmap[0x61] == "r"
 
+    # malformed bfrange whose increment overflows the declared dst width
+    # must degrade, not raise (one adversarial PDF must not kill the task)
+    cmap2, _ = _parse_cmap(
+        b"1 beginbfrange <0000> <0001> <FFFF> endbfrange\n"
+    )
+    assert cmap2[0] == "\uffff" and len(cmap2) == 2  # 0x10000 widened, no crash
+
     p = str(tmp_path / "cid.pdf")
     _write_cid_pdf(p)
     with open(p, "rb") as f:

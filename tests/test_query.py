@@ -158,6 +158,37 @@ def test_local_query_ann_modes_smoke(spark, pipeline_out):
         assert "-----Entities-----" in out["context"]
 
 
+def test_legacy_three_arg_answerer_still_works(spark, pipeline_out):
+    """Answerers written to the pre-round-3 protocol (answer_image without
+    image_b64) keep working — local_query inspects the signature before
+    passing bytes."""
+
+    class LegacyAnswerer:
+        def answer(self, question, context):
+            return "text answer"
+
+        def answer_image(self, question, media_ref, context):
+            return f"[legacy {media_ref}]"
+
+        def merge(self, question, answers):
+            return " | ".join(answers)
+
+    from pyspark.sql import functions as F
+
+    img = pipeline_out["entities"].filter(
+        F.col("entity_type") == '"ORI_IMG"'
+    ).first()
+    refs = [s for s in img.source_ids if not s.startswith("chunk-")]
+    media = spark.createDataFrame(
+        [(refs[0], bytearray(b"JPEGBYTES"))], ["media_ref", "content"]
+    )
+    out = Q.local_query(
+        spark, pipeline_out, f"what does {img.entity_name} show?",
+        threshold=0.0, media=media, answerer=LegacyAnswerer(),
+    )
+    assert "[legacy " in out["answer"]
+
+
 def test_multimodal_answer_carries_image_bytes(spark, pipeline_out):
     """The multimodal branch joins ranked ORI_IMG seeds to the media table
     and hands base64 bytes to answer_image (reference query.py:434-436)."""

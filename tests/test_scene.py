@@ -125,7 +125,9 @@ def test_describe_media_ships_base64_bytes(spark):
         [("img://a/0", bytearray(blob))], ["media_ref", "content"]
     )
 
-    want_url = "data:image/jpeg;base64," + base64.b64encode(blob).decode()
+    # the PNG magic bytes must be declared as image/png in the data: URI
+    # (mime sniffed from the base64 prefix — strict endpoints validate it)
+    want_url = "data:image/png;base64," + base64.b64encode(blob).decode()
 
     class B64EchoTransport:
         def __call__(self, url, headers, payload):

@@ -80,6 +80,32 @@ def test_kmeans_fit_separates_clusters(spark):
     assert all(len(v) == 1 for v in by_label.values())  # no cluster mixing
 
 
+def test_ivf_prebuilt_index_matches_inline_fit(spark):
+    """build_ivf_index fitted once and passed via index= yields exactly the
+    inline-fit result (kmeans init is deterministic), so a query service can
+    reuse one quantizer instead of refitting per question."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = df.filter("vec_id < 3")
+    idx = SIM.build_ivf_index(df, n_centroids=4, max_iter=3)
+    with_idx = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_topk(df, q, k=4, index=idx).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_topk(df, q, k=4, n_centroids=4, max_iter=3).collect()
+    }
+    assert with_idx == inline and with_idx
+
+
 def test_ivf_topk_recall_vs_brute(spark):
     """IVF with a healthy probe count recovers most of the exact top-k."""
     import random

@@ -232,6 +232,38 @@ def test_redelivered_media_not_double_counted(spark, tmp_path):
     assert got_w == base_w  # weight-10 containment edge NOT summed to 20
 
 
+def test_pre_upgrade_state_poisons_finalize_fused(spark, tmp_path):
+    """State committed by a version WITHOUT the fusion tables: a later batch
+    must not let finalize_fused silently fuse over that batch's mentions
+    only — it raises, while the A1/A2 stream keeps working."""
+    import os
+    import shutil
+
+    import pytest
+
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "ENTITY_1 is a PERSON associated with topic_0.", "", 0)])],
+        schema.DOCUMENTS,
+    )
+    docs2 = spark.createDataFrame(
+        [("d2", [("text", "ENTITY_2 is a GEO associated with topic_1.", "", 0)])],
+        schema.DOCUMENTS,
+    )
+    state = str(tmp_path / "state_old")
+    ix = IncrementalIndexer(spark, state)
+    ix.process_batch(docs, 0)
+    # simulate the pre-round-3 layout: drop the fusion tables from v0
+    for t in ("text_ment", "img_ment", "chunk_occ"):
+        shutil.rmtree(os.path.join(state, "state_v0", t))
+    ix.process_batch(docs2, 1)
+    with pytest.raises(ValueError, match="fusion tables"):
+        ix.finalize_fused()
+    ents, _ = ix.finalize()  # plain A1/A2 finalize still works
+    assert {r.entity_name for r in ents.collect()} >= {'"ENTITY_1"', '"ENTITY_2"'}
+
+
 def test_incremental_fused_equals_batch(spark, corpus, pipeline_out, tmp_path):
     """§2.10 end-to-end: three interleaved micro-batches (media spans
     included), then finalize_fused runs blocking -> judge -> CC ->
