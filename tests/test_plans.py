@@ -88,6 +88,40 @@ def test_contract_broadcasts_alias_map(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_apply_cluster_fusion_broadcasts_small_side(spark):
+    """L9 application: every join against the merged-record derivatives
+    (pairs / overrides / rename map) broadcasts the SMALL side; the entities
+    table itself must never be a broadcast build side (at scale it is
+    millions of rows with source_ids arrays), and nothing plans a nested
+    loop. The source_ids lookup reaches entities only through a left-semi
+    key prune."""
+    from mmgraphrag_spark.operators.fusion import apply_cluster_fusion
+
+    entities = spark.createDataFrame(
+        [
+            ('"I1"', '"IMG_ENTITY"', "d", ["m1"]),
+            ('"T1"', '"PERSON"', "d", ["c1"]),
+            ('"B"', '"GEO"', "d", ["c2"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [('"I1"', '"B"', 1.0, "r", ["c1"], 1)],
+        ["src", "tgt", "weight", "description", "source_ids", "order"],
+    )
+    merged = spark.createDataFrame(
+        [("P One", '"PERSON"', "d", ['"I1"'], ['"T1"'])],
+        ["entity_name", "entity_type", "description",
+         "source_image_entities", "source_text_entities"],
+    )
+    ents, edgs, aliases = apply_cluster_fusion(entities, edges, merged)
+    for plan in (_plan(ents), _plan(edgs), _plan(aliases)):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # the contracted-entity plan joins its overrides via broadcast
+    assert "BroadcastHashJoin" in _plan(ents)
+
+
 def test_lsh_pairs_equi_join_only(spark):
     """MinHash LSH candidate generation must be a pure equi-join on the
     (band, sig) bucket key — no nested loop anywhere."""
