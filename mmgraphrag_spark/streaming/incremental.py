@@ -248,6 +248,7 @@ class IncrementalIndexer:
         window: int = 1,
         max_block: int = 2000,
         judge_backend=None,
+        cluster_fuser=None,
     ) -> dict:
         """Full §2.10 closure: run the SAME fusion stages the batch pipeline
         runs (blocking -> spectral -> judge -> CC -> contraction,
@@ -280,12 +281,25 @@ class IncrementalIndexer:
                 "chunk_occ) for at least one committed batch; re-index with "
                 "this version to use finalize_fused"
             )
-        aliases = build_aliases(
-            entities, edges, text_ment, img_ment, media_occ, chunk_occ,
-            window=window, max_block=max_block, blocking=blocking,
-            judge_backend=judge_backend,
-        )
-        entities_f, edges_f = FU.contract(entities, edges, aliases)
+        if cluster_fuser is not None:
+            # L9 mode: mirror pipeline.kg_pipeline's cluster-fusion tail —
+            # one fuser call per block, merged records applied with
+            # merge_graphs semantics instead of pair-judge + contraction.
+            merged = build_aliases(
+                entities, edges, text_ment, img_ment, media_occ, chunk_occ,
+                window=window, max_block=max_block, blocking=blocking,
+                cluster_fuser=cluster_fuser,
+            )
+            entities_f, edges_f, aliases = FU.apply_cluster_fusion(
+                entities, edges, merged
+            )
+        else:
+            aliases = build_aliases(
+                entities, edges, text_ment, img_ment, media_occ, chunk_occ,
+                window=window, max_block=max_block, blocking=blocking,
+                judge_backend=judge_backend,
+            )
+            entities_f, edges_f = FU.contract(entities, edges, aliases)
         return {
             "entities": entities_f,
             "edges": edges_f,

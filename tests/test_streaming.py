@@ -302,3 +302,59 @@ def test_incremental_fused_equals_batch(spark, corpus, pipeline_out, tmp_path):
     got_e = {r.entity_name for r in fused["entities"].collect()}
     exp_e = {r.entity_name for r in pipeline_out["entities"].collect()}
     assert got_e == exp_e
+
+
+def test_incremental_fused_cluster_mode_equals_batch(
+    spark, corpus, documents_df, tmp_path
+):
+    """§2.10 x L9: finalize_fused(cluster_fuser=...) must reproduce the batch
+    pipeline's cluster-fusion tail — same triples, aliases and entity names
+    as run_pipeline(..., cluster_fuser=...) over the full corpus."""
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    class _PrefixFuser:
+        """Deterministic L9 stand-in: merge each image entity with the first
+        same-label text entity under an invented FUSED_ name (defined inside
+        the test so cloudpickle ships it by value to executors)."""
+
+        def fuse(self, clusters, image_entities):
+            by_label = {c["label"]: c["text_entities"] for c in clusters}
+            out = []
+            for img in image_entities:
+                texts = by_label.get(img["label"])
+                if texts:
+                    tname = texts[0]["entity_name"].strip('"')
+                    out.append(
+                        {
+                            "entity_name": f"FUSED_{tname}",
+                            "entity_type": '"PERSON"',
+                            "description": "cluster-fused",
+                            "source_image_entities": [img["entity_name"]],
+                            "source_text_entities": [texts[0]["entity_name"]],
+                        }
+                    )
+            return out
+
+    batch = run_pipeline(spark, documents_df, cluster_fuser=_PrefixFuser())
+
+    rows = datagen.corpus_rows(corpus)
+    third = max(1, len(rows) // 3)
+    batches = [rows[:third], rows[third: 2 * third], rows[2 * third:]]
+    indexer = IncrementalIndexer(spark, str(tmp_path / "state_l9"))
+    for i, b in enumerate(batches):
+        indexer.process_batch(spark.createDataFrame(b, schema.DOCUMENTS), i)
+    fused = indexer.finalize_fused(cluster_fuser=_PrefixFuser())
+
+    got_t = {(r.subj, r.pred, r.obj, r.weight) for r in fused["triples"].collect()}
+    exp_t = {(r.subj, r.pred, r.obj, r.weight) for r in batch["triples"].collect()}
+    assert got_t == exp_t
+
+    got_a = {(r.alias, r.canonical) for r in fused["aliases"].collect()}
+    exp_a = {(r.alias, r.canonical) for r in batch["aliases"].collect()}
+    assert got_a == exp_a
+
+    got_e = {r.entity_name for r in fused["entities"].collect()}
+    exp_e = {r.entity_name for r in batch["entities"].collect()}
+    assert got_e == exp_e
+    assert any(n.startswith('"FUSED_') for n in got_e)
