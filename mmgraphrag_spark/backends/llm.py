@@ -354,6 +354,166 @@ class LLMSummarizer:
         return self.client.complete([{"role": "user", "content": msg}]).strip()
 
 
+def format_result(result: str) -> str:
+    """P15 (img2graph.py:483-487): project the entity records out of a raw
+    extraction reply as '"name"-"description"' lines — the entity-description
+    listing the L6 alignment prompt consumes."""
+    import re as _re
+
+    pairs = _re.findall(
+        r'\("entity"<\|>"([^"]+)"<\|>"[^"]*"<\|>"([^"]+)"\)', result or ""
+    )
+    return "\n".join(f'"{name}"-"{desc}"' for name, desc in pairs)
+
+
+class MllmImageExtractor:
+    """L4-L6: the reference's per-image MLLM call sequence (img2graph.py
+    extract_entities, :489-514), emitting ONE record-grammar wire string per
+    image so the SAME JVM parser (functions/records.py, via
+    extract.parse_mentions) consumes image- and text-side output alike.
+
+    Per image, in reference order:
+      1. L4 (img2graph.py:348-385): one describe call per feature-block crop
+         (feature-image prompts + crop bytes as an image_url part) -> entity
+         record ``("entity"<|>"{crop}"<|>"img"<|>"{description}")##``.
+      2. L5 (img2graph.py:420-442): ONE whole-image extraction call (scene
+         record grammar + entity types in the system turn, short fixed user
+         turn) -> raw entity/relationship records.
+      3. P15: format_result projects L5's entities to '"name"-"desc"' lines.
+      4. L6 (img2graph.py:387-418): one alignment call per crop (P15 listing
+         + crop name + crop bytes) -> relationship record tying the crop to
+         the entity it depicts (the raw reply is appended; the record parser
+         downstream ignores malformed output, as the reference's does).
+      5. Deterministic synthesis (img2graph.py:444-481
+         entity_of_original_image): the ORI_IMG entity record plus weight-10
+         containment records crop->image (crop names regexed from step 1)
+         and entity->image (entity names regexed from step 2).
+
+    The min-size crop gate (>28x28, img2graph.py:362-365) runs upstream in
+    the Spark plan (operators.scene.extract_image_mentions) so undersized
+    crops never reach a paid call."""
+
+    def __init__(
+        self,
+        client: ChatClient,
+        entity_types: list[str] | None = None,
+        max_concurrency: int = 16,
+    ):
+        from mmgraphrag_spark import DEFAULT_ENTITY_TYPES
+
+        self.client = client
+        self.entity_types = entity_types or DEFAULT_ENTITY_TYPES
+        self.max_concurrency = max_concurrency
+        self._sem = None  # created worker-side (locks don't pickle)
+
+    def _describe_crop(self, crop_name: str, crop_b64: str | None) -> str:
+        desc = self.client.complete(
+            [
+                {"role": "system", "content": prompts.FEATURE_IMAGE_SYSTEM},
+                {"role": "user",
+                 "content": _with_image_part(prompts.FEATURE_IMAGE_USER, crop_b64)},
+            ]
+        ).replace("\n", " ").strip()
+        rec = f'("entity"<|>"{crop_name}"<|>"img"<|>"{desc}")##'
+        # reference normalization (img2graph.py:380-381)
+        return rec.replace("('", "(").replace("')", ")")
+
+    def _extract_whole(self, image_b64: str | None) -> str:
+        system = prompts.SCENE_EXTRACTION.format(
+            entity_types=", ".join(self.entity_types)
+        )
+        return self.client.complete(
+            [
+                {"role": "system", "content": system},
+                {"role": "user",
+                 "content": _with_image_part(prompts.SCENE_EXTRACTION_USER, image_b64)},
+            ]
+        )
+
+    def _align_crop(
+        self, crop_name: str, crop_b64: str | None, entity_listing: str
+    ) -> str:
+        user = prompts.ENTITY_ALIGNMENT_USER.format(
+            feature_image_name=crop_name, entity_description=entity_listing
+        )
+        return self.client.complete(
+            [
+                {"role": "system", "content": prompts.ENTITY_ALIGNMENT_SYSTEM},
+                {"role": "user", "content": _with_image_part(user, crop_b64)},
+            ]
+        )
+
+    def extract_image(
+        self,
+        image_name: str,
+        description: str,
+        image_b64: str | None,
+        crops: list[dict],
+    ) -> str:
+        """One image -> the combined wire string (img2graph.py:509-514)."""
+        import re as _re
+
+        if self._sem is None:
+            self._sem = threading.Semaphore(self.max_concurrency)
+        with self._sem:
+            result1 = [
+                self._describe_crop(c["name"], c.get("b64")) for c in crops
+            ]
+            result2 = self._extract_whole(image_b64)
+            listing = format_result(result2)
+            result3 = [
+                self._align_crop(c["name"], c.get("b64"), listing) for c in crops
+            ]
+            # deterministic tail (entity_of_original_image)
+            ori = (
+                f'("entity"<|>"{image_name}"<|>"ori_img"<|>"{description}")##'
+                .replace("('", "(").replace("')", ")").replace("\n", " ")
+            )
+            result4 = [ori]
+            for rec in result1:
+                m = _re.findall(r'"([^"]+?\.jpg)"', rec)
+                if m:
+                    result4.append(
+                        f'("relationship"<|>"{m[0]}"<|>"{image_name}"<|>'
+                        f'"{m[0]} is an image feature block of {image_name}."'
+                        f"<|>10)##"
+                    )
+            for name in _re.findall(r'"entity"<\|>"([^"]+?)"', result2):
+                result4.append(
+                    f'("relationship"<|>"{name}"<|>"{image_name}"<|>'
+                    f'"{name} is an entity extracted from {image_name}."<|>10)##'
+                )
+            return "\n" + "\n".join(result1 + result3 + result4) + result2.strip()
+
+    def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """(media_ref, doc_id, description, _img_b64, _crops) batches ->
+        (chunk_id=media_ref, doc_id, records). Cross-image parallelism via a
+        semaphore-capped pool, mirroring LLMExtractor.map_batches."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._sem = threading.Semaphore(self.max_concurrency)
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+            for pdf in it:
+                recs = list(
+                    pool.map(
+                        # _crops arrives as a numpy array of struct dicts —
+                        # `row[3] or []` would raise on multi-element arrays
+                        lambda row: self.extract_image(
+                            row[0], row[1] or "", row[2],
+                            [] if row[3] is None else list(row[3]),
+                        ),
+                        zip(
+                            pdf["media_ref"], pdf["description"],
+                            pdf["_img_b64"], pdf["_crops"],
+                        ),
+                    )
+                )
+                yield pd.DataFrame(
+                    {"chunk_id": pdf["media_ref"], "doc_id": pdf["doc_id"],
+                     "records": recs}
+                )
+
+
 class LLMExtractor:
     """L1 extraction with the gleaning loop (text2graph.py:346-369): initial
     extraction, then up to ``max_gleaning`` continuation rounds. Reference

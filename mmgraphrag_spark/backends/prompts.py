@@ -60,11 +60,54 @@ image contains multiple distinct foreground objects that would benefit from
 object segmentation. Reply as JSON: {"description": "...",
 "segmentation": true|false}"""
 
-# L5 — whole-image scene-graph extraction (prompt.py:287-329)
+# L5 — whole-image scene-graph extraction (prompt.py:287-329
+# image_entity_extraction): system prompt carrying the record grammar +
+# allowed entity types; the user turn is the short fixed instruction below
+# (img2graph.py:431-434).
 SCENE_EXTRACTION = f"""Extract a scene graph of this image: every visible
 object as an entity record and every visual relation between objects as a
-relationship record, using the same record format as text extraction.
+relationship record. Allowed entity types: {{entity_types}}.
+
+Output format, one record per line:
+("entity"{FIELD_SEP}"<NAME>"{FIELD_SEP}"<TYPE>"{FIELD_SEP}"<description of the object's attributes>")
+("relationship"{FIELD_SEP}"<SOURCE>"{FIELD_SEP}"<TARGET>"{FIELD_SEP}"<why they are visually related>"{FIELD_SEP}<integer strength 1-10>)
+
 Separate records with {RECORD_SEP} and finish with {COMPLETE_TAG}."""
+
+SCENE_EXTRACTION_USER = (
+    "Please output the results in the format provided above.\nOutput:"
+)
+
+# L4 — feature-block (crop) description (prompt.py
+# feature_image_description_system/user): classify the crop as object /
+# organism / person, then describe its attributes. Crops are
+# black-background cutouts, so the background must not be described.
+FEATURE_IMAGE_SYSTEM = """You describe image feature blocks (single-object
+crops with a black background). First state the crop's category — object,
+organism, or person — then describe the entity's visible attributes in
+detail (name, color, shape, size, clothing/posture for people, species for
+organisms). The entity may be partially visible. Never mention the black
+background."""
+
+FEATURE_IMAGE_USER = """Determine the category of this image feature block
+(object, organism, or person) and give a detailed description of the
+entity's features, in English."""
+
+# L6 — crop <-> extracted-entity alignment (prompt.py
+# entity_alignment_system/user): given a crop and the entity-description
+# pairs extracted from the whole image, emit ONE relationship record tying
+# the crop to the entity it depicts.
+ENTITY_ALIGNMENT_SYSTEM = f"""Given an image feature block (named in the
+user turn) and entity-description pairs extracted from the original image,
+decide which entity the feature block depicts and output exactly one
+relationship record:
+("relationship"{FIELD_SEP}<Entity Name>{FIELD_SEP}<Feature Block Name>{FIELD_SEP}"The image feature block <Feature Block Name> is a picture of <Entity Name>."{FIELD_SEP}<integer strength 1-10>){RECORD_SEP}
+Include the trailing {RECORD_SEP}."""
+
+ENTITY_ALIGNMENT_USER = """The image feature block is as shown above, and
+its name is {feature_image_name}.
+Entity-Description: {entity_description}
+Output:"""
 
 # L7/L8 — cross-modal alignment judgment (prompt.py:588-682)
 ALIGNMENT_JUDGE = """Candidate text entities: {candidates}

@@ -118,6 +118,86 @@ def describe_media(
     return src.repartition(n_parts, "media_ref").mapInPandas(run, out_schema)
 
 
+def extract_image_mentions(
+    media_spans: DataFrame,
+    backend,
+    objects: DataFrame | None = None,
+    media_bytes: DataFrame | None = None,
+    min_size: int = 28,
+) -> DataFrame:
+    """L4-L6 LLM image extraction: media spans (+ detected objects as the
+    crop inventory, + optional image bytes) -> (chunk_id=media_ref, doc_id,
+    records) wire strings via ``backend.map_batches``
+    (backends.llm.MllmImageExtractor). Downstream, extract.parse_mentions
+    turns the records into mention rows with source_id = media_ref — the
+    image-side twin of the text extraction path.
+
+    Spark-side responsibilities (all JVM, before any Python):
+      - the reference's >28x28 crop gate (img2graph.py:362-365) filters the
+        object inventory so undersized crops never reach a paid call;
+      - crop naming ``{media_ref}_{label}-{object_id}.jpg`` mirrors the
+        reference's ``{img_name}_{label}-{ci}.jpg`` save paths
+        (img2graph.py:342);
+      - crops aggregate to ONE array per media span (sorted by object_id for
+        deterministic call order) so the UDF sees one row per image;
+      - whole-image bytes and, when a detection backend supplies a
+        ``crop_b64`` column, per-crop bytes ride as base64 encoded JVM-side;
+      - partitions pinned before the python stage (CLAUDE.md rule 3)."""
+    objs = objects if objects is not None else detect_scene_objects(media_spans)
+    kept = objs.filter(
+        (F.col("width") > min_size) & (F.col("height") > min_size)
+    )
+    crop_name = F.concat(
+        F.col("media_ref"), F.lit("_"), F.col("label"), F.lit("-"),
+        F.col("object_id").cast("string"), F.lit(".jpg"),
+    )
+    crop_b64 = (
+        F.col("crop_b64") if "crop_b64" in objs.columns
+        else F.lit(None).cast("string")
+    )
+    crops = kept.groupBy("media_ref").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("object_id").alias("ord"),
+                    crop_name.alias("name"),
+                    crop_b64.alias("b64"),
+                )
+            )
+        ).alias("_crops_o")
+    ).select(
+        "media_ref",
+        F.transform(
+            F.col("_crops_o"),
+            lambda c: F.struct(
+                c["name"].alias("name"), c["b64"].alias("b64")
+            ),
+        ).alias("_crops"),
+    )
+    desc = (
+        F.coalesce(F.col("mllm_description"), F.col("caption"), F.lit(""))
+        if "mllm_description" in media_spans.columns
+        else F.coalesce(F.col("caption"), F.lit(""))
+    )
+    src = media_spans.select(
+        "media_ref", "doc_id", desc.alias("description")
+    ).join(crops, "media_ref", "left")
+    if media_bytes is not None:
+        src = src.join(
+            media_bytes.select(
+                "media_ref", F.base64(F.col("content")).alias("_img_b64")
+            ),
+            "media_ref",
+            "left",
+        )
+    else:
+        src = src.withColumn("_img_b64", F.lit(None).cast("string"))
+    n_parts = media_spans.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n_parts, "media_ref").mapInPandas(
+        backend.map_batches, "chunk_id string, doc_id string, records string"
+    )
+
+
 def detect_scene_objects(media_spans: DataFrame, backend=None) -> DataFrame:
     """media_spans -> schema.SCENE_OBJECTS via Arrow-batched mapInPandas.
 

@@ -43,6 +43,7 @@ def run_pipeline(
     tokenizer=None,
     enhancer=None,
     cluster_fuser=None,
+    image_extractor=None,
     media_bytes: DataFrame | None = None,
     chunk_max_tokens: int = 1200,
     chunk_overlap: int = 100,
@@ -166,7 +167,19 @@ def run_pipeline(
             SC.describe_media(media, describer, media_bytes=media_bytes),
         )
     objects = SC.detect_scene_objects(media, backend=scene_backend)
-    img_ents_m, img_rels_m = SC.scene_graph(media, objects)
+    if image_extractor is not None:
+        # L4-L6 LLM mode: per-image MLLM call sequence emits the record
+        # grammar, parsed by the SAME JVM parser as text extraction.
+        # Durable commit — paid, nondeterministic calls (resume re-reads).
+        img_records = cp.stage(
+            "image_records",
+            SC.extract_image_mentions(
+                media, image_extractor, objects=objects, media_bytes=media_bytes
+            ),
+        )
+        img_ents_m, img_rels_m = X.parse_mentions(img_records)
+    else:
+        img_ents_m, img_rels_m = SC.scene_graph(media, objects)
     img_ents_m = cp.stage("image_entity_mentions", img_ents_m)
 
     all_ents_m = ents_m.unionByName(img_ents_m)

@@ -62,6 +62,15 @@ def main() -> None:
                         "block over all clusters (reference "
                         "judge_text_entity_alignment_clustering) instead of "
                         "the per-pair judge; requires --llm-base-url")
+    p.add_argument("--mllm-describe", action="store_true",
+                   help="L3: describe each media span with the MLLM (its "
+                        "segmentation flag gates object detection); requires "
+                        "--llm-base-url")
+    p.add_argument("--mllm-image-extraction", action="store_true",
+                   help="L4-L6: per-image MLLM call sequence (crop describe, "
+                        "whole-image scene extraction, crop alignment) "
+                        "replaces deterministic scene-record synthesis; "
+                        "requires --llm-base-url")
     p.add_argument("--max-gleaning", type=int, default=1)
     p.add_argument("--tokenizer", default="auto", choices=["auto", "regex"],
                    help="'auto' uses tiktoken when installed (P9), else the "
@@ -92,7 +101,7 @@ def main() -> None:
 
         docs = interleave_from_flat(docs)
 
-    extractor = judge = summarizer = fuser = None
+    extractor = judge = summarizer = fuser = describer = image_extractor = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import (
             ChatClient,
@@ -100,6 +109,8 @@ def main() -> None:
             LLMExtractor,
             LLMJudge,
             LLMSummarizer,
+            MllmDescriber,
+            MllmImageExtractor,
         )
 
         client = ChatClient(
@@ -111,8 +122,15 @@ def main() -> None:
             fuser = LLMClusterFuser(client)
         else:
             judge = LLMJudge(client)
-    elif args.cluster_fusion:
-        raise SystemExit("--cluster-fusion requires --llm-base-url")
+        if args.mllm_describe:
+            describer = MllmDescriber(client)
+        if args.mllm_image_extraction:
+            image_extractor = MllmImageExtractor(client)
+    elif args.cluster_fusion or args.mllm_describe or args.mllm_image_extraction:
+        raise SystemExit(
+            "--cluster-fusion/--mllm-describe/--mllm-image-extraction "
+            "require --llm-base-url"
+        )
 
     tokenizer = None
     if args.tokenizer == "auto":
@@ -139,6 +157,8 @@ def main() -> None:
         checkpointer=ParquetCheckpointer(spark, args.checkpoint),
         judge_backend=judge,
         cluster_fuser=fuser,
+        describer=describer,
+        image_extractor=image_extractor,
         summarizer=summarizer,
         tokenizer=tokenizer,
         chunk_max_tokens=args.chunk_tokens,

@@ -180,3 +180,121 @@ def test_llm_cache_namespace(spark):
     assert out.records != "cached-records"  # mm hit doesn't serve text
     out2 = extract_mentions(chunks, llm_cache=cache, cache_namespace="mm").first()
     assert out2.records == "cached-records"
+
+
+# -- P15 + L4-L6 image extraction ---------------------------------------------
+
+def test_format_result():
+    """P15 (img2graph.py:483-487): entity records project to '"name"-"desc"'
+    lines; relationship records and malformed pieces are ignored."""
+    from mmgraphrag_spark.backends.llm import format_result
+
+    raw = (
+        '("entity"<|>"Apple"<|>"object"<|>"A green apple.")##'
+        '("relationship"<|>"Apple"<|>"Book"<|>"stacked"<|>7)##'
+        '("entity"<|>"Book"<|>"object"<|>"Three stacked books.")<|COMPLETE|>'
+    )
+    assert format_result(raw) == (
+        '"Apple"-"A green apple."\n"Book"-"Three stacked books."'
+    )
+    assert format_result("") == "" and format_result(None) == ""
+
+
+def test_mllm_image_extractor_call_sequence():
+    """Reference order (img2graph.py:509-514): L4 describe per crop, then ONE
+    L5 whole-image extraction, then L6 alignment per crop — with the right
+    system prompts, the P15 listing inside the alignment turn, and image
+    bytes as image_url parts."""
+    import base64
+
+    from mmgraphrag_spark.backends import prompts
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        MllmImageExtractor,
+        ScriptedTransport,
+    )
+
+    extraction = (
+        '("entity"<|>"Girl"<|>"person"<|>"smiling")##'
+        '("entity"<|>"Umbrella"<|>"object"<|>"black umbrella")##'
+        '("relationship"<|>"Girl"<|>"Umbrella"<|>"holds"<|>9)<|COMPLETE|>'
+    )
+    align1 = '("relationship"<|>"Girl"<|>"img0_person-0.jpg"<|>"The image feature block img0_person-0.jpg is a picture of Girl."<|>8)##'
+    align2 = '("relationship"<|>"Umbrella"<|>"img0_umbrella-1.jpg"<|>"The image feature block img0_umbrella-1.jpg is a picture of Umbrella."<|>7)##'
+    t = ScriptedTransport(["a person", "an umbrella", extraction, align1, align2])
+    ex = MllmImageExtractor(ChatClient("http://fake", transport=t))
+
+    png_b64 = base64.b64encode(b"\x89PNG\r\n\x1a\nfake").decode()
+    crops = [
+        {"name": "img0_person-0.jpg", "b64": png_b64},
+        {"name": "img0_umbrella-1.jpg", "b64": None},
+    ]
+    wire = ex.extract_image("img0.jpg", "a street scene", png_b64, crops)
+
+    assert t.n == 5
+    # calls 0-1: L4 describe (feature-image prompts; crop bytes as data URI)
+    assert t.calls[0][0]["content"] == prompts.FEATURE_IMAGE_SYSTEM
+    c0 = t.calls[0][1]["content"]
+    assert isinstance(c0, list) and c0[1]["image_url"]["url"].startswith(
+        "data:image/png;base64,"
+    )
+    assert t.calls[1][1]["content"] == prompts.FEATURE_IMAGE_USER  # no bytes
+    # call 2: L5 whole image — entity types in the system turn
+    assert "ORGANIZATION" in t.calls[2][0]["content"]
+    # calls 3-4: L6 alignment — crop name + the P15 listing of L5's entities
+    u3 = t.calls[3][1]["content"][0]["text"]
+    assert "img0_person-0.jpg" in u3 and '"Girl"-"smiling"' in u3
+    assert t.calls[3][0]["content"] == prompts.ENTITY_ALIGNMENT_SYSTEM
+
+    # wire string: crop entity records, raw alignments, deterministic tail
+    assert '("entity"<|>"img0_person-0.jpg"<|>"img"<|>"a person")##' in wire
+    assert align1 in wire and align2 in wire
+    assert '("entity"<|>"img0.jpg"<|>"ori_img"<|>"a street scene")##' in wire
+    assert (
+        '"img0_person-0.jpg"<|>"img0.jpg"<|>"img0_person-0.jpg is an image feature block of img0.jpg."<|>10' in wire
+    )
+    assert (
+        '"Girl"<|>"img0.jpg"<|>"Girl is an entity extracted from img0.jpg."<|>10' in wire
+    )
+    assert wire.endswith(extraction.strip())
+
+
+def test_extract_image_mentions_spark(spark):
+    """Spark e2e for the L4-L6 path: media spans + detected objects ->
+    wire records -> parse_mentions, with the >28x28 gate applied JVM-side
+    and source_id = media_ref."""
+    from mmgraphrag_spark.backends.llm import ChatClient, MllmImageExtractor, ScriptedTransport
+    from mmgraphrag_spark.operators.extract import parse_mentions
+    from mmgraphrag_spark.operators.scene import extract_image_mentions
+
+    extraction = '("entity"<|>"Girl"<|>"person"<|>"smiling")<|COMPLETE|>'
+    align = '("relationship"<|>"Girl"<|>"m1_person-0.jpg"<|>"The image feature block m1_person-0.jpg is a picture of Girl."<|>8)##'
+    # one image, ONE kept crop (the 16x16 object is gated out): describe,
+    # extract, align — replay keeps returning `align` if order drifted,
+    # which the record assertions below would catch
+    t = ScriptedTransport(["a person crop", extraction, align])
+    backend = MllmImageExtractor(ChatClient("http://fake", transport=t))
+
+    media = spark.createDataFrame(
+        [("m1", "d1", "caption text", 0)],
+        ["media_ref", "doc_id", "caption", "chunk_order_index"],
+    )
+    objects = spark.createDataFrame(
+        [
+            ("m1", 0, "person", "obj desc", 64, 64),
+            ("m1", 1, "noise", "tiny", 16, 16),
+        ],
+        ["media_ref", "object_id", "label", "description", "width", "height"],
+    )
+    recs = extract_image_mentions(media, backend, objects=objects)
+    ents, rels = parse_mentions(recs)
+    e = {(r.entity_name, r.entity_type, r.source_id) for r in ents.collect()}
+    assert ('"M1_PERSON-0.JPG"', '"IMG"', "m1") in e
+    assert ('"M1.JPG"', '"ORI_IMG"', "m1") not in e  # image name is media_ref
+    assert ('"M1"', '"ORI_IMG"', "m1") in e
+    assert ('"GIRL"', '"PERSON"', "m1") in e
+    r = {(x.src, x.tgt, x.weight) for x in rels.collect()}
+    # crop containment + entity-extracted-from, weight 10; alignment weight 8
+    assert ('"M1"', '"M1_PERSON-0.JPG"', 10.0) in r
+    assert ('"GIRL"', '"M1"', 10.0) in r
+    assert ('"GIRL"', '"M1_PERSON-0.JPG"', 8.0) in r

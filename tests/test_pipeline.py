@@ -167,3 +167,42 @@ def test_long_docs_multi_window_extraction_exact(spark):
             single[key] = single.get(key, 0.0) + float(m.group(3))
     assert sum(edges.values()) > 0
     assert sum(edges.values()) != sum(single.values())  # overlap had an effect
+
+
+def test_pipeline_image_extractor_mode(spark, documents_df):
+    """L4-L6 wiring: with ``image_extractor`` set, image-side mentions come
+    from the per-image LLM call sequence (parsed by the shared record
+    grammar) instead of deterministic scene-record synthesis. Replies
+    interleave nondeterministically across pool threads, so the assertions
+    target the DETERMINISTIC tail of each wire string (ORI_IMG entity +
+    weight-10 crop containment), which is reply-independent."""
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        MllmImageExtractor,
+        ScriptedTransport,
+    )
+    from mmgraphrag_spark.pipeline import run_pipeline
+
+    t = ScriptedTransport(["a described crop"])
+    backend = MllmImageExtractor(ChatClient("http://fake", transport=t))
+    out = run_pipeline(spark, documents_df, image_extractor=backend)
+
+    pre = out["entities_prefusion"]
+    ori = {
+        r.entity_name
+        for r in pre.filter("entity_type = '\"ORI_IMG\"'").collect()
+    }
+    assert ori, "expected ORI_IMG entities from the LLM image path"
+    # ORI_IMG names are the upper-cased media_refs here (not IMG_-prefixed
+    # like the deterministic path) — confirms the LLM branch actually ran
+    media_refs = {
+        r.media_ref.upper() for r in out["media_spans"].select("media_ref").collect()
+    }
+    assert ori == {f'"{m}"' for m in media_refs}
+    # weight-10 crop containment edges (deterministic synthesis): crop names
+    # carry the reference-style ...jpg suffix
+    crop_edges = out["edges_prefusion"].filter(
+        "weight >= 10 and (src like '%.JPG\"' or tgt like '%.JPG\"')"
+    )
+    assert crop_edges.count() > 0
+    assert out["triples"].count() > 0
