@@ -637,6 +637,30 @@ def _q_kg_media_assoc(spark, sf_dir):
     return _kg(spark, sf_dir)["media_spans"].select("media_ref", "chunk_id")
 
 
+def _q_j13_media_rewrite(spark, sf_dir):
+    """J13 (reference query.py:44-61 img_path2chunk_id): media refs in entity
+    provenance rewrite to the chunk the media span is associated with (J2);
+    refs with no association drop. Exercised here over the canonical
+    entities' non-chunk source ids — post-fusion '"ENTITY_k"' carries the
+    media refs its image twin contributed."""
+    kg = _kg(spark, sf_dir)
+    prov = (
+        kg["entities"]
+        .select("entity_name", F.explode("source_ids").alias("sid"))
+        .filter(~F.col("sid").startswith("chunk-"))
+    )
+    media = (
+        kg["media_spans"]
+        .select("media_ref", F.col("chunk_id").alias("mchunk"))
+        .distinct()
+    )
+    return (
+        prov.join(media, prov.sid == media.media_ref)
+        .select("entity_name", F.col("mchunk").alias("chunk_id"))
+        .distinct()
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Rows-only check: multimodal binary-column decode plumbing (feature
     vectors derive from md5 bytes — not SQL-expressible)."""
@@ -778,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u6_lcc": _q_u6_lcc,
         "a3_summarize": _q_a3_summarize,
         "kg_media_assoc": _q_kg_media_assoc,
+        "j13_media_rewrite": _q_j13_media_rewrite,
         "media_features": _q_media_features,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1416,6 +1441,20 @@ FROM t
 SELECT 'img://doc-' || doc_id || '/0' AS media_ref,
        'chunk-' || md5({_GRAMMAR}) AS chunk_id
 FROM documents WHERE doc_id % 40 = 0
+"""
+
+    # J13: each media-bearing doc contributes its media ref to BOTH the
+    # ORI_IMG entity and (via the image-entity alias contraction) the
+    # canonical '"ENTITY_{{doc%50}}"'; the rewrite maps the ref to the J2
+    # grammar chunk of that doc
+    sql["j13_media_rewrite"] = f"""
+WITH m AS (
+  SELECT doc_id, 'chunk-' || md5({_GRAMMAR}) AS chunk_id
+  FROM documents WHERE doc_id % 40 = 0
+)
+SELECT '"IMG_img://doc-' || doc_id || '/0"' AS entity_name, chunk_id FROM m
+UNION
+SELECT '"ENTITY_' || (doc_id % 50) || '"', chunk_id FROM m
 """
 
     sql["j1_anti_join"] = """

@@ -199,10 +199,21 @@ def related_text_units(
     edges: DataFrame,
     chunks: DataFrame,
     budget_tokens: int = 4000,
+    media: DataFrame | None = None,
 ) -> DataFrame:
     """J12 + W4 + A10 (query.py:63-155): seed source chunks scored by how many
     1-hop neighbors also cite them, ordered (seed rank asc, relation_counts
-    desc), kept while the running token sum fits the budget."""
+    desc), kept while the running token sum fits the budget.
+
+    ``media`` (media_spans with the J2 chunk association) enables J13
+    (query.py:44-61, 109-116 img_path2chunk_id): media refs in ONE-HOP
+    provenance rewrite to the chunk the media span is associated with, so
+    image evidence counts toward that chunk's relation score; refs with no
+    association drop, and the per-neighbor provenance stays a SET after the
+    rewrite (the reference rewrites inside set semantics — a neighbor citing
+    both a chunk and an image associated with the same chunk counts once).
+    Seed-side source ids keep the plain "chunk-" filter (P21), exactly where
+    the reference applies it."""
     seed_chunks = seeds.select(
         "entity_name", F.col("rnk"), F.explode("source_ids").alias("chunk_id")
     ).filter(F.col("chunk_id").startswith("chunk-"))
@@ -214,8 +225,25 @@ def related_text_units(
             ),
             "neighbor",
         )
-        .select("seed", F.explode("source_ids").alias("chunk_id"))
+        .select("seed", "neighbor", F.explode("source_ids").alias("chunk_id"))
     )
+    if media is not None:
+        mmap = media.select(
+            "media_ref", F.col("chunk_id").alias("_mchunk")
+        ).distinct()
+        nbr_chunks = (
+            nbr_chunks.join(mmap, nbr_chunks.chunk_id == mmap.media_ref, "left")
+            .withColumn(
+                "chunk_id",
+                F.when(
+                    F.col("chunk_id").startswith("chunk-"), F.col("chunk_id")
+                ).otherwise(F.col("_mchunk")),
+            )
+            .filter(F.col("chunk_id").isNotNull())
+            .select("seed", "neighbor", "chunk_id")
+            .distinct()
+        )
+    nbr_chunks = nbr_chunks.drop("neighbor")
     rel_counts = nbr_chunks.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("relation_counts")
     )
@@ -429,7 +457,11 @@ def local_query(
     # rehydration and the edge ranking — compute once per query
     degrees = node_degrees(edges).localCheckpoint()
     seeds = seed_entities(entities, edges, ann, degrees=degrees).localCheckpoint()
-    text_units = related_text_units(seeds, entities, edges, chunks)
+    # J13: the media_spans table (J2 chunk association) rewrites image refs
+    # in one-hop provenance to their associated chunks
+    text_units = related_text_units(
+        seeds, entities, edges, chunks, media=kg.get("media_spans")
+    )
     edge_rows = related_edges(seeds, edges, degrees=degrees)
     context = assemble_context(seeds.orderBy("rnk"), text_units, edge_rows)
     backend = answerer or TemplateAnswerer()

@@ -55,6 +55,14 @@ def main() -> None:
         name: spark.read.parquet(os.path.join(args.kg, name))
         for name in ("entities", "edges", "chunks")
     }
+    # media_spans (J2 chunk association) enables the J13 provenance rewrite
+    # in text-unit scoring; absent on media-free or pre-J13 index outputs
+    try:
+        kg["media_spans"] = spark.read.parquet(
+            os.path.join(args.kg, "media_spans")
+        )
+    except Exception:
+        pass
     # an EXPLICIT --media is always read (it may be a remote path isdir can't
     # see — a read failure should surface, not silently drop the images);
     # only the implicit <kg>/media default probes and tolerates absence

@@ -213,3 +213,46 @@ def test_multimodal_answer_carries_image_bytes(spark, pipeline_out):
         spark, pipeline_out, f"what does {img.entity_name} show?", threshold=0.0
     )
     assert "+bytes" not in out2["answer"]
+
+
+def test_j13_media_rewrite_in_text_unit_scoring(spark):
+    """J13 (reference query.py:44-61): with a media table, one-hop media refs
+    rewrite to their associated chunk (raising its relation count); without
+    one they contribute nothing; a neighbor citing both a chunk and an image
+    associated with the SAME chunk counts once (set semantics)."""
+    seeds = spark.createDataFrame(
+        [('"A"', 1, ["chunk-1"])], ["entity_name", "rnk", "source_ids"]
+    )
+    entities = spark.createDataFrame(
+        [
+            ('"A"', ["chunk-1"]),
+            # neighbor cites chunk-1 AND an image associated with chunk-1:
+            # must count once, not twice
+            ('"B"', ["chunk-1", "img://m1"]),
+            # neighbor cites only an image associated with chunk-1
+            ('"C"', ["img://m1"]),
+            # neighbor with an unmapped media ref: contributes nothing
+            ('"D"', ["img://orphan"]),
+        ],
+        ["entity_name", "source_ids"],
+    )
+    edges = spark.createDataFrame(
+        [('"A"', '"B"'), ('"A"', '"C"'), ('"A"', '"D"')], ["src", "tgt"]
+    )
+    chunks = spark.createDataFrame(
+        [("chunk-1", "some content here", 3)], ["chunk_id", "content", "tokens"]
+    )
+    media = spark.createDataFrame(
+        [("img://m1", "d1", "chunk-1")], ["media_ref", "doc_id", "chunk_id"]
+    )
+
+    with_media = Q.related_text_units(
+        seeds, entities, edges, chunks, media=media
+    ).collect()
+    assert len(with_media) == 1
+    # B once (set-dedup) + C once via the rewrite; D's orphan ref dropped
+    assert with_media[0].relation_counts == 2
+
+    without = Q.related_text_units(seeds, entities, edges, chunks).collect()
+    # no rewrite: only B's literal chunk-1 citation counts
+    assert without[0].relation_counts == 1
