@@ -662,15 +662,23 @@ def _q_j13_media_rewrite(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Rows-only check: multimodal binary-column decode plumbing (feature
-    vectors derive from md5 bytes — not SQL-expressible)."""
+    """Multimodal binary-column decode plumbing — EXACT oracle: the
+    deterministic decode backend derives every output from md5(content) raw
+    bytes, and DuckDB parses the same bytes from the md5 hex ('0x'||pair
+    casts). ``feat_bytes`` recovers the integer byte sum from the float32
+    feature vector (round(x*255) is exact at this magnitude), sidestepping
+    float32-vs-double drift a rounded float sum would have."""
     from mmgraphrag_spark.operators.media import media_features, synth_media_table
 
     media = synth_media_table(spark, _interleaved(spark, sf_dir))
     feats = media_features(media)
     return feats.select(
         "media_ref", "mime", "width", "height", "n_frames",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"),
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.round(x * 255).cast("bigint"),
+        ).alias("feat_bytes"),
     )
 
 
@@ -1441,6 +1449,26 @@ FROM t
 SELECT 'img://doc-' || doc_id || '/0' AS media_ref,
        'chunk-' || md5({_GRAMMAR}) AS chunk_id
 FROM documents WHERE doc_id % 40 = 0
+"""
+
+    # media_features: re-derive the deterministic decode outputs from the
+    # md5 hex of the ref (content = utf8(media_ref)); b0..b15 are the digest
+    # bytes the Python backend reads from hashlib.md5(content).digest()
+    _b = lambda i: f"('0x' || substr(hx, {2 * i + 1}, 2))::INT"  # noqa: E731
+    _feat_sum = " + ".join(_b(i) for i in range(16))
+    sql["media_features"] = f"""
+WITH m AS (
+  SELECT 'img://doc-' || doc_id || '/0' AS media_ref FROM documents
+  WHERE doc_id % 40 = 0
+),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM m)
+SELECT media_ref,
+       CASE WHEN {_b(0)} % 4 = 0 THEN 'video/mp4' ELSE 'image/jpeg' END AS mime,
+       64 + {_b(0)} AS width,
+       64 + {_b(1)} AS height,
+       CASE WHEN {_b(0)} % 4 = 0 THEN 1 + ({_b(2)} % 32) ELSE 1 END AS n_frames,
+       CAST({_feat_sum} AS BIGINT) AS feat_bytes
+FROM h
 """
 
     # J13: each media-bearing doc contributes its media ref to BOTH the

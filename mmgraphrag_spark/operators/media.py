@@ -191,15 +191,18 @@ def sample_frames(features: DataFrame, every_n: int = 4) -> DataFrame:
 def synth_media_table(spark, documents: DataFrame) -> DataFrame:
     """Build a deterministic media table from the interleaved documents'
     media spans: content = utf-8 bytes of the media_ref (a stable fake
-    payload), mime alternating image/video by ref hash."""
+    payload), mime alternating image/video by the first md5 byte of the ref
+    (md5 rather than crc32 so an ANSI-SQL oracle can reproduce the rule)."""
     spans = documents.select(F.explode("spans").alias("s")).filter(
         F.col("s.kind") != "text"
     )
+    first_md5_byte = F.conv(
+        F.substring(F.md5(F.col("s.media_ref")), 1, 2), 16, 10
+    ).cast("int")
     return spans.select(
         F.col("s.media_ref").alias("media_ref"),
-        F.when(
-            F.crc32(F.col("s.media_ref")) % 4 == 0, F.lit("video/mp4")
-        ).otherwise(F.lit("image/jpeg")).alias("mime"),
+        F.when(first_md5_byte % 4 == 0, F.lit("video/mp4"))
+        .otherwise(F.lit("image/jpeg")).alias("mime"),
         F.encode(F.col("s.media_ref"), "utf-8").alias("content"),
         F.length(F.col("s.media_ref")).cast("long").alias("n_bytes"),
     ).distinct()

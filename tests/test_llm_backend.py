@@ -298,3 +298,46 @@ def test_extract_image_mentions_spark(spark):
     assert ('"M1"', '"M1_PERSON-0.JPG"', 10.0) in r
     assert ('"GIRL"', '"M1"', 10.0) in r
     assert ('"GIRL"', '"M1_PERSON-0.JPG"', 8.0) in r
+
+
+def test_extract_image_mentions_crop_bytes_column(spark):
+    """C4 seam wiring: when the detection backend supplies a ``crop_b64``
+    column, the per-crop bytes survive the JVM-side struct aggregation and
+    reach the backend in object_id order."""
+    from mmgraphrag_spark.operators.scene import extract_image_mentions
+
+    class RecordingBackend:
+        """Echoes what it received into the records column (defined inside
+        the test so cloudpickle ships it by value)."""
+
+        def map_batches(self, it):
+            import pandas as pd
+
+            for pdf in it:
+                recs = []
+                for ref, crops in zip(pdf["media_ref"], pdf["_crops"]):
+                    crops = [] if crops is None else list(crops)
+                    recs.append(
+                        ";".join(f"{c['name']}={c['b64']}" for c in crops)
+                    )
+                yield pd.DataFrame(
+                    {"chunk_id": pdf["media_ref"], "doc_id": pdf["doc_id"],
+                     "records": recs}
+                )
+
+    media = spark.createDataFrame(
+        [("m1", "d1", "cap", 0)],
+        ["media_ref", "doc_id", "caption", "chunk_order_index"],
+    )
+    objects = spark.createDataFrame(
+        [
+            ("m1", 1, "cat", "d", 64, 64, "QkJC"),
+            ("m1", 0, "dog", "d", 64, 64, "QUFB"),
+            ("m1", 2, "tiny", "d", 8, 8, "Q0ND"),  # gated out (28x28)
+        ],
+        ["media_ref", "object_id", "label", "description", "width", "height",
+         "crop_b64"],
+    )
+    out = extract_image_mentions(media, RecordingBackend(), objects=objects)
+    rec = out.collect()[0].records
+    assert rec == "m1_dog-0.jpg=QUFB;m1_cat-1.jpg=QkJC"
