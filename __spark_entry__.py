@@ -673,7 +673,10 @@ def _q_media_features(spark, sf_dir):
     media = synth_media_table(spark, _interleaved(spark, sf_dir))
     feats = media_features(media)
     return feats.select(
-        "media_ref", "mime", "width", "height", "n_frames",
+        "media_ref", "mime",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
         F.aggregate(
             "feature",
             F.lit(0).cast("bigint"),
@@ -1464,9 +1467,9 @@ WITH m AS (
 h AS (SELECT media_ref, md5(media_ref) AS hx FROM m)
 SELECT media_ref,
        CASE WHEN {_b(0)} % 4 = 0 THEN 'video/mp4' ELSE 'image/jpeg' END AS mime,
-       64 + {_b(0)} AS width,
-       64 + {_b(1)} AS height,
-       CASE WHEN {_b(0)} % 4 = 0 THEN 1 + ({_b(2)} % 32) ELSE 1 END AS n_frames,
+       CAST(64 + {_b(0)} AS BIGINT) AS width,
+       CAST(64 + {_b(1)} AS BIGINT) AS height,
+       CAST(CASE WHEN {_b(0)} % 4 = 0 THEN 1 + ({_b(2)} % 32) ELSE 1 END AS BIGINT) AS n_frames,
        CAST({_feat_sum} AS BIGINT) AS feat_bytes
 FROM h
 """

@@ -354,6 +354,25 @@ class LLMSummarizer:
         return self.client.complete([{"role": "user", "content": msg}]).strip()
 
 
+def _pooled_records_batches(backend, it, id_col, arg_cols, fn):
+    """Shared executor-side scaffold for record-emitting LLM backends
+    (LLMExtractor, MllmImageExtractor): eager worker-side semaphore (locks
+    don't pickle, so it can't be built driver-side; lazy per-thread creation
+    raced and could over-admit), a semaphore-capped thread pool, and one
+    (chunk_id, doc_id, records) row per input row. Fix concurrency behavior
+    HERE, once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    backend._sem = threading.Semaphore(backend.max_concurrency)
+    with ThreadPoolExecutor(max_workers=backend.max_concurrency) as pool:
+        for pdf in it:
+            recs = list(pool.map(fn, zip(*(pdf[c] for c in arg_cols))))
+            yield pd.DataFrame(
+                {"chunk_id": pdf[id_col], "doc_id": pdf["doc_id"],
+                 "records": recs}
+            )
+
+
 def format_result(result: str) -> str:
     """P15 (img2graph.py:483-487): project the entity records out of a raw
     extraction reply as '"name"-"description"' lines — the entity-description
@@ -487,31 +506,18 @@ class MllmImageExtractor:
 
     def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         """(media_ref, doc_id, description, _img_b64, _crops) batches ->
-        (chunk_id=media_ref, doc_id, records). Cross-image parallelism via a
-        semaphore-capped pool, mirroring LLMExtractor.map_batches."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._sem = threading.Semaphore(self.max_concurrency)
-        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            for pdf in it:
-                recs = list(
-                    pool.map(
-                        # _crops arrives as a numpy array of struct dicts —
-                        # `row[3] or []` would raise on multi-element arrays
-                        lambda row: self.extract_image(
-                            row[0], row[1] or "", row[2],
-                            [] if row[3] is None else list(row[3]),
-                        ),
-                        zip(
-                            pdf["media_ref"], pdf["description"],
-                            pdf["_img_b64"], pdf["_crops"],
-                        ),
-                    )
-                )
-                yield pd.DataFrame(
-                    {"chunk_id": pdf["media_ref"], "doc_id": pdf["doc_id"],
-                     "records": recs}
-                )
+        (chunk_id=media_ref, doc_id, records) via the shared pooled
+        scaffold. _crops arrives as a numpy array of struct dicts — `row[3]
+        or []` would raise on multi-element arrays, hence the explicit None
+        check."""
+        yield from _pooled_records_batches(
+            self, it, "media_ref",
+            ["media_ref", "description", "_img_b64", "_crops"],
+            lambda row: self.extract_image(
+                row[0], row[1] or "", row[2],
+                [] if row[3] is None else list(row[3]),
+            ),
+        )
 
 
 class LLMExtractor:
@@ -567,16 +573,7 @@ class LLMExtractor:
             return "##".join(records)
 
     def map_batches(self, it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from concurrent.futures import ThreadPoolExecutor
-
-        # semaphore created eagerly here (single-threaded, worker-side — locks
-        # don't pickle so it can't be built in __init__ driver-side) before any
-        # submission; lazy per-thread creation raced and could over-admit.
-        self._sem = threading.Semaphore(self.max_concurrency)
-        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            for pdf in it:
-                recs = list(pool.map(self._extract_one, pdf["content"]))
-                yield pd.DataFrame(
-                    {"chunk_id": pdf["chunk_id"], "doc_id": pdf["doc_id"],
-                     "records": recs}
-                )
+        yield from _pooled_records_batches(
+            self, it, "chunk_id", ["content"],
+            lambda row: self._extract_one(row[0]),
+        )

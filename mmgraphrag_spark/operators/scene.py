@@ -144,9 +144,14 @@ def extract_image_mentions(
         ``crop_b64`` column, per-crop bytes ride as base64 encoded JVM-side;
       - partitions pinned before the python stage (CLAUDE.md rule 3)."""
     objs = objects if objects is not None else detect_scene_objects(media_spans)
+    # PER IMAGE, not per occurrence: media_spans (and therefore the detected
+    # object inventory) carries one row per media-span occurrence, but the
+    # reference processes each image FILE once (img2graph.py:648-660 iterates
+    # jpg files) — without the dedup an image occurring N times would fire N
+    # paid extract_image calls, each over N copies of every crop
     kept = objs.filter(
         (F.col("width") > min_size) & (F.col("height") > min_size)
-    )
+    ).dropDuplicates(["media_ref", "object_id"])
     crop_name = F.concat(
         F.col("media_ref"), F.lit("_"), F.col("label"), F.lit("-"),
         F.col("object_id").cast("string"), F.lit(".jpg"),
@@ -179,9 +184,15 @@ def extract_image_mentions(
         if "mllm_description" in media_spans.columns
         else F.coalesce(F.col("caption"), F.lit(""))
     )
-    src = media_spans.select(
-        "media_ref", "doc_id", desc.alias("description")
-    ).join(crops, "media_ref", "left")
+    src = (
+        media_spans.select("media_ref", "doc_id", desc.alias("description"))
+        .groupBy("media_ref")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("description").alias("description"),
+        )
+        .join(crops, "media_ref", "left")
+    )
     if media_bytes is not None:
         src = src.join(
             media_bytes.select(

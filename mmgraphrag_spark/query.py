@@ -228,9 +228,13 @@ def related_text_units(
         .select("seed", "neighbor", F.explode("source_ids").alias("chunk_id"))
     )
     if media is not None:
-        mmap = media.select(
-            "media_ref", F.col("chunk_id").alias("_mchunk")
-        ).distinct()
+        # ONE chunk per ref: the reference's path->chunk dict holds a single
+        # association per image path; media_spans keeps one per OCCURRENCE,
+        # so collapse deterministically (min) rather than fanning one ref's
+        # evidence out to every associated chunk
+        mmap = media.groupBy("media_ref").agg(
+            F.min("chunk_id").alias("_mchunk")
+        )
         nbr_chunks = (
             nbr_chunks.join(mmap, nbr_chunks.chunk_id == mmap.media_ref, "left")
             .withColumn(

@@ -56,12 +56,16 @@ def main() -> None:
         for name in ("entities", "edges", "chunks")
     }
     # media_spans (J2 chunk association) enables the J13 provenance rewrite
-    # in text-unit scoring; absent on media-free or pre-J13 index outputs
+    # in text-unit scoring; tolerate ONLY absence (media-free or pre-J13
+    # index outputs) — a corrupt/unreadable table must surface, matching the
+    # explicit-path rule for --media below
+    from pyspark.errors import AnalysisException
+
     try:
         kg["media_spans"] = spark.read.parquet(
             os.path.join(args.kg, "media_spans")
         )
-    except Exception:
+    except AnalysisException:
         pass
     # an EXPLICIT --media is always read (it may be a remote path isdir can't
     # see — a read failure should surface, not silently drop the images);

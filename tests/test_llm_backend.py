@@ -341,3 +341,37 @@ def test_extract_image_mentions_crop_bytes_column(spark):
     out = extract_image_mentions(media, RecordingBackend(), objects=objects)
     rec = out.collect()[0].records
     assert rec == "m1_dog-0.jpg=QUFB;m1_cat-1.jpg=QkJC"
+
+
+def test_extract_image_mentions_dedups_occurrences(spark):
+    """A media ref occurring N times (several docs / repeated spans) must
+    reach the paid backend ONCE, with each crop listed once — the reference
+    processes each image file once (img2graph.py:648-660)."""
+    from mmgraphrag_spark.operators.scene import extract_image_mentions
+
+    class CountingBackend:
+        def map_batches(self, it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {"chunk_id": pdf["media_ref"], "doc_id": pdf["doc_id"],
+                     "records": [
+                         f"ncrops={0 if c is None else len(list(c))}"
+                         for c in pdf["_crops"]
+                     ]}
+                )
+
+    media = spark.createDataFrame(
+        [("m1", "d1", "cap", 0), ("m1", "d2", "cap", 3)],
+        ["media_ref", "doc_id", "caption", "chunk_order_index"],
+    )
+    # object inventory duplicated per occurrence, as detect_scene_objects
+    # emits it when fed per-occurrence media rows
+    objects = spark.createDataFrame(
+        [("m1", 0, "person", "d", 64, 64)] * 2 + [("m1", 1, "cat", "d", 64, 64)] * 2,
+        ["media_ref", "object_id", "label", "description", "width", "height"],
+    )
+    out = extract_image_mentions(media, CountingBackend(), objects=objects).collect()
+    assert len(out) == 1  # one backend row per IMAGE, not per occurrence
+    assert out[0].records == "ncrops=2"  # each crop once, not once per occurrence
