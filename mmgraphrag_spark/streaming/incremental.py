@@ -63,11 +63,17 @@ class IncrementalIndexer:
     """foreachBatch sink: documents micro-batch -> state merge -> commit."""
 
     def __init__(self, spark: SparkSession, state_dir: str, scene_backend=None,
-                 extractor=None):
+                 extractor=None, image_extractor=None):
         self.spark = spark
         self.state_dir = state_dir
         self.scene_backend = scene_backend
         self.extractor = extractor
+        # L4-L6 MLLM image mode (mirrors run_pipeline(image_extractor=)).
+        # NOTE: a media_ref recurring across batches under distinct
+        # (doc, ref, position) keys re-runs its (cached-by-stage-commit in
+        # batch mode, paid here) extraction once per batch it newly appears
+        # in — same per-occurrence semantics the deterministic scene path has.
+        self.image_extractor = image_extractor
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state versioning -------------------------------------------------
@@ -138,7 +144,13 @@ class IncrementalIndexer:
             media.join(seen_m, mkeys, "left_anti") if seen_m is not None else media
         ).localCheckpoint()
         objects = SC.detect_scene_objects(new_media, backend=self.scene_backend)
-        img_ents_m, img_rels_m = SC.scene_graph(new_media, objects)
+        if self.image_extractor is not None:
+            img_records = SC.extract_image_mentions(
+                new_media, self.image_extractor, objects=objects
+            ).localCheckpoint()  # paid calls: one action, reused by both parses
+            img_ents_m, img_rels_m = X.parse_mentions(img_records)
+        else:
+            img_ents_m, img_rels_m = SC.scene_graph(new_media, objects)
 
         d_ent = _entity_state(ents_m.unionByName(img_ents_m))
         d_edge = _edge_state(rels_m.unionByName(img_rels_m))

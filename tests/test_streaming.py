@@ -358,3 +358,50 @@ def test_incremental_fused_cluster_mode_equals_batch(
     exp_e = {r.entity_name for r in batch["entities"].collect()}
     assert got_e == exp_e
     assert any(n.startswith('"FUSED_') for n in got_e)
+
+
+def test_incremental_image_extractor_equals_batch(spark, corpus, documents_df, tmp_path):
+    """§2.10 x L4-L6: incremental indexing with the MLLM image extractor
+    reproduces the batch pipeline's pre-fusion entities/edges. A single
+    scripted reply makes every LLM call deterministic regardless of thread
+    interleaving (the deterministic ORI_IMG/containment tail carries the
+    image-side structure)."""
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        MllmImageExtractor,
+        ScriptedTransport,
+    )
+    from mmgraphrag_spark.pipeline import run_pipeline
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    def mk_backend():
+        return MllmImageExtractor(
+            ChatClient("http://fake", transport=ScriptedTransport(["a crop"]))
+        )
+
+    batch = run_pipeline(spark, documents_df, image_extractor=mk_backend())
+
+    rows = datagen.corpus_rows(corpus)
+    half = max(1, len(rows) // 2)
+    indexer = IncrementalIndexer(
+        spark, str(tmp_path / "state_img"), image_extractor=mk_backend()
+    )
+    indexer.process_batch(spark.createDataFrame(rows[:half], schema.DOCUMENTS), 0)
+    indexer.process_batch(spark.createDataFrame(rows[half:], schema.DOCUMENTS), 1)
+    ents, edges = indexer.finalize()
+
+    got_e = {
+        (r.entity_name, r.entity_type) for r in ents.collect()
+    }
+    exp_e = {
+        (r.entity_name, r.entity_type)
+        for r in batch["entities_prefusion"].collect()
+    }
+    assert got_e == exp_e
+    assert any(t == '"ORI_IMG"' for _, t in got_e)
+
+    got_g = {(r.src, r.tgt, r.weight) for r in edges.collect()}
+    exp_g = {
+        (r.src, r.tgt, r.weight) for r in batch["edges_prefusion"].collect()
+    }
+    assert got_g == exp_g
