@@ -703,9 +703,11 @@ def _q_lsh_ann_topk(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
-    """Rows-only check: IVF approximate top-k (k-means coarse quantizer +
-    probed-cell search; recall vs brute force asserted in pytest — the
-    iterative fit has no closed-form SQL oracle)."""
+    """IVF approximate top-k (k-means coarse quantizer + probed-cell search)
+    — EXACT oracle: the fit is deterministic (lowest-id init, ties to the
+    smallest label, per-dim means rounded each round), so the fixed 3
+    Lloyd iterations unroll into closed-form SQL. Recall vs brute force is
+    additionally asserted in pytest."""
     from mmgraphrag_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -1305,6 +1307,141 @@ SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
   SELECT qid, nid,
          row_number() OVER (PARTITION BY qid ORDER BY dot / (nq * nc + 1e-12) DESC, nid ASC) AS rnk
   FROM s
+) WHERE rnk <= 10
+"""
+
+    # exact oracle for IVF top-k: Lloyd's k-means is deterministic here
+    # (init = the 8 lowest-vec_id vectors, assignment ties to the smallest
+    # label, per-dim means rounded to 6 decimals each round), so the 3
+    # fixed iterations UNROLL into closed-form SQL — c0 (init) -> a1/c1 ->
+    # a2/c2 -> a3/c3 -> a4 (inverted file vs the final centroids) -> 3-cell
+    # probe per query -> in-probe cosine top-10. Matches the Spark operator
+    # exactly at sf0.001/0.01/0.1.
+    sql["ivf_topk"] = """
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS label, embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id ASC LIMIT 8)
+)
+, u1 AS (
+  SELECT e.vec_id, c.label,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM emb e CROSS JOIN c0 c
+), s1 AS (
+  SELECT vec_id, label,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM u1 GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label ASC) AS rn
+    FROM s1
+  ) WHERE rn = 1
+)
+, c1 AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, round(avg(x), 6) AS m FROM (
+      SELECT a.label AS label, unnest(e.embedding) AS x,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM a1 a JOIN emb e USING (vec_id)
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+)
+, u2 AS (
+  SELECT e.vec_id, c.label,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM emb e CROSS JOIN c1 c
+), s2 AS (
+  SELECT vec_id, label,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM u2 GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label ASC) AS rn
+    FROM s2
+  ) WHERE rn = 1
+)
+, c2 AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, round(avg(x), 6) AS m FROM (
+      SELECT a.label AS label, unnest(e.embedding) AS x,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM a2 a JOIN emb e USING (vec_id)
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+)
+, u3 AS (
+  SELECT e.vec_id, c.label,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM emb e CROSS JOIN c2 c
+), s3 AS (
+  SELECT vec_id, label,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM u3 GROUP BY 1, 2
+), a3 AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label ASC) AS rn
+    FROM s3
+  ) WHERE rn = 1
+)
+, c3 AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, round(avg(x), 6) AS m FROM (
+      SELECT a.label AS label, unnest(e.embedding) AS x,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM a3 a JOIN emb e USING (vec_id)
+    ) GROUP BY 1, 2
+  ) GROUP BY label
+)
+, u4 AS (
+  SELECT e.vec_id, c.label,
+         unnest(e.embedding) AS x, unnest(c.centroid) AS y
+  FROM emb e CROSS JOIN c3 c
+), s4 AS (
+  SELECT vec_id, label,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM u4 GROUP BY 1, 2
+), a4 AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label ASC) AS rn
+    FROM s4
+  ) WHERE rn = 1
+)
+, qs AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 5),
+pu AS (
+  SELECT q.qid, c.label, unnest(q.qe) AS x, unnest(c.centroid) AS y
+  FROM qs q CROSS JOIN c3 c
+), ps AS (
+  SELECT qid, label,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM pu GROUP BY 1, 2
+), pr AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, label ASC) AS rn
+    FROM ps
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT p.qid, i.vec_id AS nid
+  FROM pr p JOIN a4 i USING (label)
+  WHERE p.qid <> i.vec_id
+), cu AS (
+  SELECT c.qid, c.nid, unnest(q.qe) AS x, unnest(e.embedding) AS y
+  FROM cand c JOIN qs q USING (qid) JOIN emb e ON e.vec_id = c.nid
+), cs AS (
+  SELECT qid, nid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)) + 1e-12) AS cos
+  FROM cu GROUP BY 1, 2
+)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM cs
 ) WHERE rnk <= 10
 """
 

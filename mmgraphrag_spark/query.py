@@ -83,8 +83,12 @@ def _rank_bounded(scored: DataFrame, top_k: int) -> DataFrame:
     reads as INTENTIONAL (input bounded by construction) instead of tripping
     Spark's "No Partition Defined" scale warning on a k-row input."""
     # NULL-safe: a NULL name must not open a second window partition (two
-    # independent rnk sequences) — coalesce keeps every row in the one group
-    one_group = F.coalesce(F.length("entity_name"), F.lit(0)) * 0
+    # independent rnk sequences) — coalesce keeps every row in the one group.
+    # ORDER MATTERS: coalesce(length(c) * 0, 0) — the *0 child is nullable so
+    # Catalyst can't fold the whole thing to a literal (coalesce(length, 0)*0
+    # IS non-nullable -> folds to 0 -> the partition key is dropped and the
+    # "No Partition Defined" warning fires even on this bounded input)
+    one_group = F.coalesce(F.length("entity_name") * 0, F.lit(0))
     w = Window.partitionBy(one_group).orderBy(F.desc("sim"), F.asc("entity_name"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -263,7 +267,7 @@ def related_text_units(
     # the running token sum is inherently sequential. The non-foldable
     # constant partition key documents that — no "No Partition Defined"
     # scale warning (a plain lit would be optimized away).
-    w = Window.partitionBy(F.coalesce(F.length("chunk_id"), F.lit(0)) * 0).orderBy(
+    w = Window.partitionBy(F.coalesce(F.length("chunk_id") * 0, F.lit(0))).orderBy(
         F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id")
     )
     cum = (
@@ -301,7 +305,7 @@ def related_edges(
     )
     # bounded input (seed edges only) + sequential budget sum: intentional
     # single partition, marked as in related_text_units
-    w = Window.partitionBy(F.coalesce(F.length("src"), F.lit(0)) * 0).orderBy(
+    w = Window.partitionBy(F.coalesce(F.length("src") * 0, F.lit(0))).orderBy(
         F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt")
     )
     toks = F.size(F.split(F.col("description"), r"\s+"))
