@@ -7,7 +7,10 @@ set of hyperplanes — axis-aligned — reproducible in plain SQL). At 100 TB th
 bucketed join replaces the crossJoin: each query probes its own bucket plus
 Hamming-1 neighbors, turning O(N*Q) into O(Q * bucket_size).
 
-All cosine math is JVM higher-order functions; no Python in the hot path.
+Cosine math on the pruned candidate sets is JVM higher-order functions; the
+k-means fit's N x k assignment runs as Arrow-batched numpy matmuls (one per
+batch — the interpreted JVM lambda was measured slower there, CLAUDE.md
+rule 4/5).
 """
 
 from __future__ import annotations
@@ -125,26 +128,44 @@ def assign_nearest_centroid(
     """(id, vec) x (label, centroid) -> (id, vec, label of nearest centroid by
     cosine, ties to the smallest label).
 
-    Centroids are k rows -> broadcast; the argmax is a groupBy(id) max-struct
-    (map-side partial agg), NOT a window — one hash shuffle of N rows, no
-    N*k-row sort."""
-    c = centroids.select(F.col("label").alias("_cl"), F.col("centroid").alias("_cv"))
-    scored = (
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(c))
-        .withColumn("_cos", cosine_similarity_col(F.col("_v"), F.col("_cv")))
+    This is the k-means/IVF hot path — it runs once per fit round plus once
+    for the inverted file, over every corpus vector x k centroids. A JVM
+    crossJoin with the higher-order-function cosine is INTERPRETED per array
+    element (N*k*dim lambda evals — CLAUDE.md rule 4) and measured ~4x
+    slower than shipping each Arrow batch through ONE numpy matmul:
+    (B x dim) @ (dim x k), row-normalized, argmax per row (numpy argmax
+    takes the FIRST max -> smallest label on exact ties, matching the
+    max-struct tie-break the JVM version had). The k centroids are collected
+    to the driver and ride the closure — k is the quantizer size, tiny by
+    definition (they were broadcast anyway). No shuffle at all: the map is
+    partition-local, embarrassingly parallel at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r["label"])
+    labels = np.array([int(r["label"]) for r in rows], dtype="int32")
+    cmat = np.array([r["centroid"] for r in rows], dtype="float64")
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    src = embeddings.select(id_col, vec_col)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields]
+        + ["label int"]
     )
-    best = scored.groupBy("_id").agg(
-        F.first("_v").alias("_v"),
-        F.max(
-            F.struct(F.col("_cos").alias("c"), (-F.col("_cl")).cast("long").alias("nl"))
-        ).alias("_b"),
-    )
-    return best.select(
-        F.col("_id").alias(id_col),
-        F.col("_v").alias(vec_col),
-        (-F.col("_b.nl")).cast("int").alias("label"),
-    )
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pdf.assign(label=pd.Series([], dtype="int32"))
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            xnorm = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cmat.T) / (np.outer(xnorm, cnorm) + 1e-12)
+            pdf = pdf.copy()
+            pdf["label"] = labels[np.argmax(cos, axis=1)]
+            yield pdf
+
+    return src.mapInPandas(run, out_schema)
 
 
 def kmeans_fit(
@@ -158,23 +179,72 @@ def kmeans_fit(
 
     Init = the k lowest-id vectors (deterministic). The k init rows come to
     the driver via TakeOrderedAndProject (k is the quantizer size — tiny by
-    definition, and the centroids get broadcast right back out every round),
-    so no window/shuffle at all in the init. Each round assigns every vector
-    to its nearest centroid (broadcast k rows, partial-agg argmax) and
-    recomputes means via centroid_per_label (posexplode + avg — partial-agg
-    friendly, no vector collect_list). Lineage is cut per round
-    (localCheckpoint) so Catalyst never re-analyzes the unrolled loop.
+    definition), so no window/shuffle at all in the init.
+
+    Loop shape = Spark MLlib KMeans': the k x dim centroid state lives on
+    the DRIVER (it is driver-sized by definition), and each Lloyd round is
+    ONE job — an Arrow-batched mapInPandas computes per-partition partial
+    (label, vector-sum, count) via a single numpy matmul per batch, the
+    k x n_partitions partial rows collect, and the driver finishes the means
+    (rounded to 6 decimals — the determinism sync point the SQL oracle
+    keys on). This replaced a per-round crossJoin + posexplode-shuffle +
+    localCheckpoint chain (3+ jobs and two shuffles per round, all fixed
+    overhead at any corpus size — the partial-agg round is shuffle-free and
+    its collect payload is k*(dim+1) doubles per partition regardless of N).
+    Labels that lose every member drop, exactly as the old groupBy did.
     Returns (label, centroid)."""
+    import numpy as np
+
     rows = embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    init = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)],
+    labels = list(range(len(rows)))
+    cmat = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    # materialize the (repartitioned) vectors once — every round re-scans
+    # them, and the source may be an expensive sub-plan
+    spark = embeddings.sparkSession
+    src = (
+        embeddings.select(vec_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        lab = np.array(labels, dtype="int32")
+        cm = cmat
+        cnorm = np.sqrt((cm * cm).sum(axis=1))
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy())
+                xn = np.sqrt((x * x).sum(axis=1))
+                best = np.argmax((x @ cm.T) / (np.outer(xn, cnorm) + 1e-12), axis=1)
+                seen = np.unique(best)
+                yield pd.DataFrame(
+                    {
+                        "label": lab[seen],
+                        "psum": [x[best == i].sum(axis=0).tolist() for i in seen],
+                        "cnt": [int((best == i).sum()) for i in seen],
+                    }
+                )
+
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in src.mapInPandas(
+            partials, "label int, psum array<double>, cnt bigint"
+        ).collect():
+            s, c = acc.get(r["label"], (0.0, 0))
+            acc[r["label"]] = (s + np.array(r["psum"], dtype="float64"), c + r["cnt"])
+        labels = sorted(acc)
+        cmat = np.array(
+            [np.round(acc[l][0] / acc[l][1], 6) for l in labels], dtype="float64"
+        )
+
+    return spark.createDataFrame(
+        [(int(l), c.tolist()) for l, c in zip(labels, cmat)],
         "label int, centroid array<double>",
     ).localCheckpoint()
-    centroids = init
-    for _ in range(max_iter):
-        assigned = assign_nearest_centroid(embeddings, centroids, id_col, vec_col)
-        centroids = centroid_per_label(assigned, "label", vec_col).localCheckpoint()
-    return centroids
 
 
 def build_ivf_index(
