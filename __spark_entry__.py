@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mmgraphrag_spark.query import one_partition_key as _one_part
+
 # ---------------------------------------------------------------------------
 # inputs
 # ---------------------------------------------------------------------------
@@ -535,10 +537,10 @@ def _q_j10_rehydrate(spark, sf_dir):
         )
         .withColumn(
             # bounded synthetic seed list -> intentional single partition
-            # (non-foldable constant key; a plain lit gets optimized away)
+            # (query.one_partition_key: non-foldable, null-safe constant)
             "rnk",
             F.row_number().over(
-                Window.partitionBy(F.length("entity_name") * 0).orderBy(
+                Window.partitionBy(_one_part("entity_name")).orderBy(
                     F.desc("sim"), F.asc("entity_name")
                 )
             ),
@@ -739,10 +741,10 @@ def _q_w7_mm_limit(spark, sf_dir):
         )
         .withColumn(
             # global seed ranking over a bounded distinct-user list ->
-            # intentional single partition (non-foldable constant key)
+            # intentional single partition (query.one_partition_key)
             "rnk",
             F.row_number().over(
-                Window.partitionBy(F.length("entity_name") * 0).orderBy(
+                Window.partitionBy(_one_part("entity_name")).orderBy(
                     F.asc("entity_name")
                 )
             ),

@@ -149,9 +149,18 @@ def extract_image_mentions(
     # reference processes each image FILE once (img2graph.py:648-660 iterates
     # jpg files) — without the dedup an image occurring N times would fire N
     # paid extract_image calls, each over N copies of every crop
-    kept = objs.filter(
-        (F.col("width") > min_size) & (F.col("height") > min_size)
-    ).dropDuplicates(["media_ref", "object_id"])
+    # DETERMINISTIC survivor per (media_ref, object_id): the same image part
+    # at different positions can carry different captions, so a caption-aware
+    # detector emits different rows for the same key — dropDuplicates would
+    # keep an arbitrary one per task ordering, breaking resume-equals-fresh
+    # and incremental-equals-batch. min-struct picks the lexicographic min.
+    other = [c for c in objs.columns if c not in ("media_ref", "object_id")]
+    kept = (
+        objs.filter((F.col("width") > min_size) & (F.col("height") > min_size))
+        .groupBy("media_ref", "object_id")
+        .agg(F.min(F.struct(*other)).alias("_o"))
+        .select("media_ref", "object_id", *[F.col(f"_o.{c}").alias(c) for c in other])
+    )
     crop_name = F.concat(
         F.col("media_ref"), F.lit("_"), F.col("label"), F.lit("-"),
         F.col("object_id").cast("string"), F.lit(".jpg"),

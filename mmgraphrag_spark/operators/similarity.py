@@ -148,6 +148,14 @@ def assign_nearest_centroid(
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
 
     src = embeddings.select(id_col, vec_col)
+    # pin partitions before the python stage (CLAUDE.md rule 3): a
+    # localCheckpoint'ed or AQE-coalesced corpus can arrive in 1-2
+    # partitions, serializing the N x k assignment onto as many cores.
+    # Repartition only when under-parallel — at full width the map is
+    # already partition-local and the extra shuffle would be pure cost.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields]
         + ["label int"]

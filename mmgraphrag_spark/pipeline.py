@@ -386,8 +386,11 @@ def build_aliases(
     # split-visibility: an Observation rides the stage-commit action (zero
     # extra jobs) and warns when blocks overflowed max_block — a repeatedly
     # splitting band is a blocking-key problem, not something to salt away
-    # silently. On a resumed run the committed stage skips the action (the
-    # metric would never fire), so only read it on a fresh commit.
+    # silently. Observation.get BLOCKS until an action runs the observed
+    # plan, so only read it when (a) this is a fresh commit (a resumed run
+    # skips the action — the metric would never fire) AND (b) the
+    # checkpointer declares stage() eager (eager_stages; a third-party lazy
+    # stage() returning the DataFrame unexecuted would hang the read).
     from pyspark.sql import Observation
 
     cap_obs = Observation("fusion_block_caps")
@@ -396,7 +399,7 @@ def build_aliases(
         "fusion_blocks",
         FU.cap_blocks(members, max_block=max_block, observation=cap_obs),
     )
-    if fresh:
+    if fresh and getattr(cp, "eager_stages", False):
         FU.log_split_blocks(cap_obs, max_block)
     # within-block known relationships for Gram reweighting (M3).
     # JOIN ORDER MATTERS: edges ⋈ members on src alone explodes on hub

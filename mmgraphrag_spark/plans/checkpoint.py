@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 class LocalCheckpointer:
     """In-memory stage materialization with plan truncation."""
 
+    # stage() runs an action before returning — consumers may safely read
+    # an Observation attached to the staged plan (see pipeline.build_aliases)
+    eager_stages = True
+
     def __init__(self):
         self.stages: dict[str, dict] = {}
 
@@ -102,6 +106,8 @@ class _HadoopFS:
 
 class ParquetCheckpointer:
     """Durable per-stage snapshots with commit markers and lineage counters."""
+
+    eager_stages = True  # stage() writes (an action) before returning
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark

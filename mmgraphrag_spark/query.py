@@ -77,21 +77,27 @@ def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
 # retrieval
 # ---------------------------------------------------------------------------
 
+def one_partition_key(col: str):
+    """Constant window-partition key marking an INTENTIONAL single partition
+    (input bounded by construction) without tripping Spark's "No Partition
+    Defined" scale warning — which fires only on an EMPTY partition spec.
+    NULL-safe: every row lands in the one group even when ``col`` is null.
+    ORDER MATTERS: coalesce(length(c) * 0, 0) — the *0 child is nullable so
+    Catalyst can't fold the whole thing to a literal (coalesce(length, 0)*0
+    IS non-nullable -> folds to 0 -> the foldable key is dropped from the
+    spec and the warning fires even on a bounded input)."""
+    return F.coalesce(F.length(col) * 0, F.lit(0))
+
+
 def _rank_bounded(scored: DataFrame, top_k: int) -> DataFrame:
-    """Rank <= top_k pre-limited rows. The partition key is a constant the
-    optimizer can't fold away (a plain lit would be), so the single partition
-    reads as INTENTIONAL (input bounded by construction) instead of tripping
-    Spark's "No Partition Defined" scale warning on a k-row input."""
-    # NULL-safe: a NULL name must not open a second window partition (two
-    # independent rnk sequences) — coalesce keeps every row in the one group.
-    # ORDER MATTERS: coalesce(length(c) * 0, 0) — the *0 child is nullable so
-    # Catalyst can't fold the whole thing to a literal (coalesce(length, 0)*0
-    # IS non-nullable -> folds to 0 -> the partition key is dropped and the
-    # "No Partition Defined" warning fires even on this bounded input)
-    one_group = F.coalesce(F.length("entity_name") * 0, F.lit(0))
-    w = Window.partitionBy(one_group).orderBy(F.desc("sim"), F.asc("entity_name"))
+    """Rank <= top_k pre-limited rows (the filter also ENFORCES the bound —
+    an unbounded caller gets top_k rows, not a full global ranking)."""
+    w = Window.partitionBy(one_partition_key("entity_name")).orderBy(
+        F.desc("sim"), F.asc("entity_name")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
         .select("entity_name", F.col("sim"), "rnk")
     )
 
@@ -264,10 +270,8 @@ def related_text_units(
     )
     # single-partition window is intentional and safe: the input is bounded
     # by construction (top_k seeds x their cited chunks, not the corpus), and
-    # the running token sum is inherently sequential. The non-foldable
-    # constant partition key documents that — no "No Partition Defined"
-    # scale warning (a plain lit would be optimized away).
-    w = Window.partitionBy(F.coalesce(F.length("chunk_id") * 0, F.lit(0))).orderBy(
+    # the running token sum is inherently sequential (see one_partition_key).
+    w = Window.partitionBy(one_partition_key("chunk_id")).orderBy(
         F.asc("order"), F.desc("relation_counts"), F.asc("chunk_id")
     )
     cum = (
@@ -304,8 +308,8 @@ def related_edges(
         .withColumn("edge_rank", F.col("dsrc") + F.col("dtgt"))
     )
     # bounded input (seed edges only) + sequential budget sum: intentional
-    # single partition, marked as in related_text_units
-    w = Window.partitionBy(F.coalesce(F.length("src") * 0, F.lit(0))).orderBy(
+    # single partition (see one_partition_key)
+    w = Window.partitionBy(one_partition_key("src")).orderBy(
         F.desc("edge_rank"), F.desc("weight"), F.asc("src"), F.asc("tgt")
     )
     toks = F.size(F.split(F.col("description"), r"\s+"))

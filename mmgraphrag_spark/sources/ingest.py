@@ -411,38 +411,40 @@ def _parse_cmap(data: bytes):
 def _page_fonts(objs: dict, page_body: bytes, tree_body: bytes = b""):
     """Page dict -> {font resource name: (ToUnicode cmap, code width)}.
 
-    Walks /Resources (inline dict or indirect ref; falls back to the
-    page-tree node's — PDF resource inheritance) -> /Font -> per-font
-    /ToUnicode stream. Fonts without a ToUnicode entry are omitted; their
-    strings keep the latin-1 fallback path."""
+    Walks /Resources (inline dict or indirect ref) -> /Font -> per-font
+    /ToUnicode stream. PDF resource SHADOWING (7.8.3): a page's own
+    /Resources fully replaces the inherited dict, so the page-tree node's
+    resources are consulted ONLY when the page has no /Resources entry at
+    all — a page font without ToUnicode must keep the latin-1 fallback, not
+    pick up a same-named ancestor font's CMap. Fonts without a ToUnicode
+    entry are omitted; their strings keep the latin-1 fallback path."""
     import re
 
-    fonts: dict = {}
-    for body in (page_body, tree_body):
-        rsrc = None
+    def _resources(body: bytes):
         rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", body)
         if rm:
-            rsrc = objs.get(int(rm.group(1)), b"")
-        else:
-            rm = re.search(rb"/Resources\s*<<", body)
-            if rm:
-                rsrc = body[rm.end() - 2:]
-        if rsrc is None:
+            return objs.get(int(rm.group(1)), b"")
+        rm = re.search(rb"/Resources\s*<<", body)
+        return body[rm.end() - 2:] if rm else None
+
+    rsrc = _resources(page_body)
+    if rsrc is None and tree_body:
+        rsrc = _resources(tree_body)
+    fonts: dict = {}
+    if rsrc is None:
+        return fonts
+    fm = re.search(rb"/Font\s+(\d+)\s+0\s+R", rsrc)
+    fdict = objs.get(int(fm.group(1)), b"") if fm else rsrc
+    for em in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fdict):
+        name, oid = em.group(1).decode("latin-1"), int(em.group(2))
+        fbody = objs.get(oid, b"")
+        if b"/BaseFont" not in fbody and b"/Subtype" not in fbody:
             continue
-        fm = re.search(rb"/Font\s+(\d+)\s+0\s+R", rsrc)
-        fdict = objs.get(int(fm.group(1)), b"") if fm else rsrc
-        for em in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fdict):
-            name, oid = em.group(1).decode("latin-1"), int(em.group(2))
-            fbody = objs.get(oid, b"")
-            if b"/BaseFont" not in fbody and b"/Subtype" not in fbody:
-                continue
-            tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
-            if tm and name not in fonts:
-                data = _pdf_stream(objs.get(int(tm.group(1)), b""), objs)
-                if data:
-                    fonts[name] = _parse_cmap(data)
-        if fonts:
-            break
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
+        if tm and name not in fonts:
+            data = _pdf_stream(objs.get(int(tm.group(1)), b""), objs)
+            if data:
+                fonts[name] = _parse_cmap(data)
     return fonts
 
 
@@ -459,10 +461,17 @@ def _pdf_page_text(content: bytes, fonts: dict | None = None) -> str:
     lit = rb"\(((?:\\.|[^\\()])*)\)"
     hexs = rb"<([0-9A-Fa-f\s]*)>"
     item = rb"(?:" + lit + rb"|" + hexs + rb")"
+    # the array filler must be DISJOINT from the item alternatives at the
+    # first byte ('(' starts only a literal, '<' only a hex string) — an
+    # item-or-any-char alternation backtracks EXPONENTIALLY on an
+    # unterminated array (e.g. a truncated stream: '[' + 25 strings and no
+    # ']' measured seconds-to-hang); with disjoint first bytes the scan is
+    # linear and an unterminated item simply ends the array match there
+    arr_fill = rb"[^\]()<]"
     tok = re.compile(
         rb"/(\w+)\s+[\d.]+\s+Tf"            # 1: font select
         rb"|" + item + rb"\s*Tj"             # 2/3: literal/hex show
-        rb"|\[((?:" + item + rb"|[^\]])*)\]\s*TJ",  # 4: array show
+        rb"|\[((?:" + item + rb"|" + arr_fill + rb")*)\]\s*TJ",  # 4: array
         re.DOTALL,
     )
     cur = None  # (cmap, width) of the current font, if it has a CMap

@@ -63,7 +63,7 @@ class IncrementalIndexer:
     """foreachBatch sink: documents micro-batch -> state merge -> commit."""
 
     def __init__(self, spark: SparkSession, state_dir: str, scene_backend=None,
-                 extractor=None, image_extractor=None):
+                 extractor=None, image_extractor=None, media_bytes=None):
         self.spark = spark
         self.state_dir = state_dir
         self.scene_backend = scene_backend
@@ -74,6 +74,12 @@ class IncrementalIndexer:
         # batch mode, paid here) extraction once per batch it newly appears
         # in — same per-occurrence semantics the deterministic scene path has.
         self.image_extractor = image_extractor
+        # (media_ref, content binary) table: with a REAL vision endpoint the
+        # extractor needs the image bytes a batch run would send
+        # (run_pipeline(media_bytes=)); each micro-batch's new media joins
+        # this table inside extract_image_mentions. Without it the b64 parts
+        # are null — fine for byte-blind test backends only.
+        self.media_bytes = media_bytes
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state versioning -------------------------------------------------
@@ -146,7 +152,8 @@ class IncrementalIndexer:
         objects = SC.detect_scene_objects(new_media, backend=self.scene_backend)
         if self.image_extractor is not None:
             img_records = SC.extract_image_mentions(
-                new_media, self.image_extractor, objects=objects
+                new_media, self.image_extractor, objects=objects,
+                media_bytes=self.media_bytes,
             ).localCheckpoint()  # paid calls: one action, reused by both parses
             img_ents_m, img_rels_m = X.parse_mentions(img_records)
         else:

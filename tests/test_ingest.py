@@ -375,3 +375,22 @@ def test_chunk_overlap_must_be_smaller_than_window(spark):
         chunk_occurrences(
             spans, max_tokens=100, overlap=150, tokenizer=RegexTokenizerBackend()
         )
+
+
+def test_pdf_page_text_linear_on_unterminated_array():
+    """The TJ-array tokenizer must stay linear on malformed input: an
+    unterminated array ('[' + many strings, no ']') made an earlier
+    item-or-any-char alternation backtrack exponentially (seconds at 24
+    items, effectively hanging an executor past ~30). The disjoint-first-byte
+    filler makes the scan linear; the malformed array extracts nothing and
+    the rest of the stream still parses."""
+    import time
+
+    from mmgraphrag_spark.sources.ingest import _pdf_page_text
+
+    content = b"[" + b"(word) " * 60 + b"(truncated"
+    t0 = time.monotonic()
+    assert _pdf_page_text(content) == ""
+    assert time.monotonic() - t0 < 1.0
+    # a well-formed tail after a malformed array is still reached
+    assert "after" in _pdf_page_text(content + b"\n(after) Tj")
