@@ -405,3 +405,69 @@ def test_incremental_image_extractor_equals_batch(spark, corpus, documents_df, t
         (r.src, r.tgt, r.weight) for r in batch["edges_prefusion"].collect()
     }
     assert got_g == exp_g
+
+
+def test_streamed_image_extractor_receives_media_bytes(spark, documents_df, tmp_path):
+    """The IncrementalIndexer(media_bytes=) seam: the streamed L4-L6 path
+    must send the SAME whole-image base64 payload a batch run would — a
+    transport that tags its scene-extraction reply by whether an image_url
+    part arrived proves the bytes cross into the paid call (and a control
+    indexer without the table proves the assertion is sharp)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.backends.llm import ChatClient, MllmImageExtractor
+    from mmgraphrag_spark.streaming.incremental import IncrementalIndexer
+
+    def transport(url, headers, payload):
+        msgs = payload["messages"]
+
+        def text_of(m):
+            c = m.get("content")
+            if isinstance(c, list):
+                return " ".join(
+                    p.get("text", "") for p in c if isinstance(p, dict)
+                )
+            return c or ""
+
+        has_img = any(
+            isinstance(m.get("content"), list)
+            and any(
+                isinstance(p, dict) and p.get("type") == "image_url"
+                for p in m["content"]
+            )
+            for m in msgs
+        )
+        tag = "SAW_BYTES" if has_img else "NO_BYTES"
+        if any("scene graph" in text_of(m) for m in msgs):
+            reply = f'("entity"<|>"Mark"<|>"PERSON"<|>"{tag}")<|COMPLETE|>'
+        else:
+            reply = "a crop"
+        return _json.dumps({"choices": [{"message": {"content": reply}}]})
+
+    media_bytes = (
+        documents_df.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "image")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+        .withColumn("content", F.encode(F.concat(F.lit("IMG-"), "media_ref"), "utf-8"))
+    )
+    assert media_bytes.count() > 0
+
+    def mark_desc(state_dir, tbl):
+        idx = IncrementalIndexer(
+            spark, str(tmp_path / state_dir),
+            image_extractor=MllmImageExtractor(
+                ChatClient("http://fake", transport=transport)
+            ),
+            media_bytes=tbl,
+        )
+        idx.process_batch(documents_df, 0)
+        ents, _ = idx.finalize()
+        rows = ents.filter(F.col("entity_name") == '"MARK"').collect()
+        assert rows, "scene-extraction record did not materialize"
+        return rows[0].description
+
+    assert "SAW_BYTES" in mark_desc("state_b64", media_bytes)
+    assert "NO_BYTES" in mark_desc("state_nob64", None)  # control
