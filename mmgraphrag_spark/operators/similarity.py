@@ -15,6 +15,8 @@ rule 4/5).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -280,8 +282,31 @@ def build_ivf_index(
     return centroids, inverted
 
 
+def save_ivf_index(index: tuple[DataFrame, DataFrame], path: str) -> None:
+    """Persist an IVF index for reuse ACROSS driver processes (the reference
+    persists its VDB at indexing time, storage.py:125-155): a query service
+    indexes once with `submit_job --build-ann-index` and every later
+    `query_job --ann-mode ivf` loads instead of refitting. Two parquet
+    tables — the k-row quantizer and the full inverted file; the inverted
+    file stays hash-partitioned by write, so the per-query probe join reads
+    only the probed cells' row groups after label pushdown."""
+    centroids, inverted = index
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    inverted.write.mode("overwrite").parquet(os.path.join(path, "inverted"))
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a save_ivf_index directory back into the (centroids, inverted)
+    pair ivf_topk consumes. The centroids localCheckpoint (k rows, collected
+    per query); the inverted file stays a lazy parquet scan so the probe
+    join's label filter pushes down to the scan."""
+    centroids = spark.read.parquet(os.path.join(path, "centroids")).localCheckpoint()
+    inverted = spark.read.parquet(os.path.join(path, "inverted"))
+    return centroids, inverted
+
+
 def ivf_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
@@ -299,7 +324,8 @@ def ivf_topk(
     join for query sides too large to broadcast. Pass ``index`` (from
     :func:`build_ivf_index`) to reuse a prebuilt quantizer + inverted file
     instead of refitting per call — the per-query cost is then just the
-    probe joins.
+    probe joins, and ``corpus`` may be None (the inverted file already
+    holds every corpus vector).
 
     Scale shape: the corpus-side join key is the cell label (single hash
     shuffle, cells ~N/n_centroids); queries explode x n_probe. At 100 TB

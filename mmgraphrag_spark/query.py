@@ -124,7 +124,7 @@ def ann_entities(
 
 
 def ann_entities_approx(
-    vdb: DataFrame,
+    vdb: DataFrame | None,
     query_vec: list[float],
     top_k: int = 10,
     threshold: float = 0.2,
@@ -141,13 +141,21 @@ def ann_entities_approx(
     exact in tests). Raise n_bits / n_centroids as the VDB grows — the plan
     shape is unchanged (bounded bucket equi-join). ``ann_index`` (mode
     "ivf": the result of similarity.build_ivf_index over this VDB) skips the
-    per-call quantizer fit — a query service builds the index once."""
+    per-call quantizer fit — a query service builds the index once; with an
+    index, ``vdb`` may be None (the inverted file already holds every
+    corpus vector, so no VDB scan or embed happens per query at all)."""
     from mmgraphrag_spark.operators import similarity as SIM
 
-    spark = vdb.sparkSession
-    corpus = vdb.select(
-        F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
-    )
+    if vdb is None:
+        if mode != "ivf" or ann_index is None:
+            raise ValueError("vdb=None requires mode='ivf' with a prebuilt ann_index")
+        spark = ann_index[0].sparkSession
+        corpus = None
+    else:
+        spark = vdb.sparkSession
+        corpus = vdb.select(
+            F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
+        )
     qdf = spark.createDataFrame(
         [("__query__", [float(x) for x in query_vec])],
         "vec_id string, embedding array<double>",
@@ -454,7 +462,10 @@ def local_query(
 
     entities, edges, chunks = kg["entities"], kg["edges"], kg["chunks"]
     embed_backend = embed_backend or HashEmbedBackend()
-    if vdb is None:
+    # a prebuilt IVF index already holds every corpus vector — building (and
+    # eagerly materializing) the VDB per query would re-scan + re-embed the
+    # entities table for nothing, defeating index-once-query-many
+    if vdb is None and not (ann_mode == "ivf" and ann_index is not None):
         vdb = build_entity_vdb(entities, backend=embed_backend).localCheckpoint()
     qv = embed_backend.embed([question])[0]
     if ann_mode == "exact":

@@ -2,6 +2,7 @@
 
     python scripts/query_job.py --kg /tmp/kg_out \
         --question "What relates ENTITY_1 to ENTITY_2?" \
+        [--questions-file questions.txt] \
         [--llm-base-url https://... --llm-model gpt-4o-mini] \
         [--log-dir /tmp/kg_querylog] [--top-k 10]
 
@@ -24,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--kg", required=True, help="submit_job.py --output directory")
-    p.add_argument("--question", required=True)
+    p.add_argument("--question", default=None)
+    p.add_argument("--questions-file", default=None,
+                   help="file with one question per line (blank lines "
+                        "skipped): answer them all in ONE Spark session — "
+                        "the VDB / ANN index is built or loaded once and "
+                        "shared, matching the reference's long-lived "
+                        "instance answering repeated query() calls")
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--ann-mode", default="exact", choices=["exact", "lsh", "ivf"],
@@ -40,6 +47,12 @@ def main() -> None:
     p.add_argument("--llm-api-key", default=os.environ.get("OPENAI_API_KEY", ""))
     p.add_argument("--llm-model", default="gpt-4o-mini")
     args = p.parse_args()
+    questions = [args.question] if args.question else []
+    if args.questions_file:
+        with open(args.questions_file, encoding="utf-8") as fh:
+            questions += [ln.strip() for ln in fh if ln.strip()]
+    if not questions:
+        p.error("provide --question and/or --questions-file")
 
     from pyspark.sql import SparkSession
 
@@ -69,14 +82,13 @@ def main() -> None:
         pass
     # an EXPLICIT --media is always read (it may be a remote path isdir can't
     # see — a read failure should surface, not silently drop the images);
-    # only the implicit <kg>/media default probes and tolerates absence
+    # only the implicit <kg>/media default probes (isdir, so an absent table
+    # doesn't trip Spark's noisy file-probe stack trace) and tolerates absence
     if args.media:
         media = spark.read.parquet(args.media)
     else:
-        try:
-            media = spark.read.parquet(os.path.join(args.kg, "media"))
-        except Exception:
-            media = None
+        default_media = os.path.join(args.kg, "media")
+        media = spark.read.parquet(default_media) if os.path.isdir(default_media) else None
     answerer = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer
@@ -84,35 +96,48 @@ def main() -> None:
         answerer = LLMAnswerer(
             ChatClient(args.llm_base_url, api_key=args.llm_api_key, model=args.llm_model)
         )
-    # ivf: fit the quantizer + inverted file ONCE up front (reusable across
-    # questions in a service loop) instead of per local_query call
+    # the VDB / ANN index is built (or, for ivf with a persisted
+    # submit_job --build-ann-index directory, loaded — no refit at query
+    # time at all) ONCE and shared across every question in the list,
+    # instead of per local_query call
+    from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
+    from mmgraphrag_spark.query import build_entity_vdb
+
     ann_index = None
     vdb = None
-    if args.ann_mode == "ivf":
-        from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
-        from mmgraphrag_spark.operators.similarity import build_ivf_index
-        from mmgraphrag_spark.query import build_entity_vdb
+    idx_dir = os.path.join(args.kg, "ann_index")
+    if args.ann_mode == "ivf" and os.path.isdir(os.path.join(idx_dir, "centroids")):
+        from mmgraphrag_spark.operators.similarity import load_ivf_index
 
-        vdb = build_entity_vdb(kg["entities"], backend=HashEmbedBackend()).localCheckpoint()
-        corpus = vdb.select(
-            vdb.entity_name.alias("vec_id"), vdb.vec.alias("embedding")
+        ann_index = load_ivf_index(spark, idx_dir)
+    else:
+        vdb = build_entity_vdb(
+            kg["entities"], backend=HashEmbedBackend()
+        ).localCheckpoint()
+        if args.ann_mode == "ivf":
+            from mmgraphrag_spark.operators.similarity import build_ivf_index
+
+            ann_index = build_ivf_index(
+                vdb.select(
+                    vdb.entity_name.alias("vec_id"), vdb.vec.alias("embedding")
+                )
+            )
+    for question in questions:
+        out = local_query(
+            spark,
+            kg,
+            question,
+            top_k=args.top_k,
+            threshold=args.threshold,
+            answerer=answerer,
+            vdb=vdb,
+            log_dir=args.log_dir,
+            ann_mode=args.ann_mode,
+            ann_index=ann_index,
+            media=media,
         )
-        ann_index = build_ivf_index(corpus)
-    out = local_query(
-        spark,
-        kg,
-        args.question,
-        top_k=args.top_k,
-        threshold=args.threshold,
-        answerer=answerer,
-        vdb=vdb,
-        log_dir=args.log_dir,
-        ann_mode=args.ann_mode,
-        ann_index=ann_index,
-        media=media,
-    )
-    print("ANSWER:")
-    print(out["answer"])
+        print("ANSWER:")
+        print(out["answer"])
     spark.stop()
 
 

@@ -41,6 +41,12 @@ def main() -> None:
                    choices=["neighborhood", "lsh", "embedding"])
     p.add_argument("--doc-partitions", type=int, default=None)
     p.add_argument("--max-block", type=int, default=2000)
+    p.add_argument("--build-ann-index", action="store_true",
+                   help="fit the IVF quantizer + inverted file over the "
+                        "canonical entity VDB and persist them under "
+                        "<output>/ann_index for query_job --ann-mode ivf "
+                        "(index once, query many)")
+    p.add_argument("--ann-centroids", type=int, default=16)
     p.add_argument("--media-bytes", default=None,
                    help="(media_ref, content binary) parquet table: feeds the "
                         "describer (L3) and is copied to <output>/media so "
@@ -170,6 +176,28 @@ def main() -> None:
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
     if media_bytes is not None:
         media_bytes.write.mode("overwrite").parquet(os.path.join(args.output, "media"))
+    if args.build_ann_index:
+        # index-time ANN build (reference storage.py:125-155 builds its VDB
+        # during indexing): quantizer + inverted file land next to the graph
+        # so query_job --ann-mode ivf loads instead of refitting per process
+        from pyspark.sql import functions as F
+
+        from mmgraphrag_spark.operators.similarity import (
+            build_ivf_index,
+            save_ivf_index,
+        )
+        from mmgraphrag_spark.query import build_entity_vdb
+
+        vdb = build_entity_vdb(
+            spark.read.parquet(os.path.join(args.output, "entities"))
+        )
+        corpus = vdb.select(
+            F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
+        )
+        save_ivf_index(
+            build_ivf_index(corpus, n_centroids=args.ann_centroids),
+            os.path.join(args.output, "ann_index"),
+        )
     n = spark.read.parquet(os.path.join(args.output, "triples")).count()
     print(f"DONE triples={n} output={args.output}")
     spark.stop()

@@ -158,6 +158,34 @@ def test_local_query_ann_modes_smoke(spark, pipeline_out):
         assert "-----Entities-----" in out["context"]
 
 
+def test_local_query_prebuilt_ivf_skips_vdb_build(spark, pipeline_out, monkeypatch):
+    """Index-once-query-many: with a prebuilt IVF index, local_query must
+    not rebuild (and eagerly materialize) the entity VDB per query — the
+    inverted file already holds every corpus vector. Asserted by poisoning
+    build_entity_vdb: the query must answer without ever calling it."""
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.operators.similarity import build_ivf_index
+
+    vdb = Q.build_entity_vdb(pipeline_out["entities"]).localCheckpoint()
+    idx = build_ivf_index(
+        vdb.select(F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")),
+        n_centroids=4,
+    )
+    with_vdb = Q.local_query(spark, pipeline_out, "What is ENTITY_1 related to?",
+                             threshold=0.0, ann_mode="ivf", ann_index=idx)
+    expected = sorted(r.entity_name for r in with_vdb["seeds"].collect())
+
+    def poisoned(*a, **k):
+        raise AssertionError("build_entity_vdb must not run with a prebuilt index")
+
+    monkeypatch.setattr(Q, "build_entity_vdb", poisoned)
+    out = Q.local_query(spark, pipeline_out, "What is ENTITY_1 related to?",
+                        threshold=0.0, ann_mode="ivf", ann_index=idx)
+    assert sorted(r.entity_name for r in out["seeds"].collect()) == expected
+    assert expected  # the probe actually seeded the query
+
+
 def test_legacy_three_arg_answerer_still_works(spark, pipeline_out):
     """Answerers written to the pre-round-3 protocol (answer_image without
     image_b64) keep working — local_query inspects the signature before

@@ -135,3 +135,35 @@ def test_ivf_topk_recall_vs_brute(spark):
     for r in SIM.ivf_topk(df, q, k=5, n_centroids=8, n_probe=4, max_iter=3).collect():
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """A persisted IVF index (submit_job --build-ann-index) must answer
+    identically to the in-memory index it was saved from — the
+    index-once-query-many path cannot drift from the fit."""
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    idx = build_ivf_index(emb, n_centroids=4, max_iter=2)
+    save_ivf_index(idx, str(tmp_path / "ann_index"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ann_index"))
+
+    def rows(index):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_topk(emb, q, k=5, index=index).collect()
+        )
+
+    got = rows(loaded)
+    assert got == rows(idx)
+    assert len(got) > 0
