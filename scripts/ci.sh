@@ -15,6 +15,18 @@ python -m pytest tests/ -x -q
 echo "== oracle parity @ sf0.01 =="
 python scripts/check_oracles.py /root/testdata/sf0.01
 
+echo "== CLI smoke: index (graphml + ann index) then batch query =="
+rm -rf /tmp/ci_kg /tmp/ci_kg_ckpt
+python scripts/submit_job.py --input /root/testdata/sf0.001/documents.parquet \
+  --derive-interleaved --output /tmp/ci_kg --checkpoint /tmp/ci_kg_ckpt \
+  --graphml --build-ann-index >/dev/null
+test -s /tmp/ci_kg/graph_entity_relation.graphml
+test -d /tmp/ci_kg/ann_index/centroids
+printf 'What is ENTITY_1 related to?\n' > /tmp/ci_questions.txt
+python scripts/query_job.py --kg /tmp/ci_kg --questions-file /tmp/ci_questions.txt \
+  --ann-mode ivf > /tmp/ci_answer.txt
+grep -q "ANSWER:" /tmp/ci_answer.txt
+
 if [[ "${1:-}" != "--quick" ]]; then
   echo "== oracle parity @ sf0.1 =="
   python scripts/check_oracles.py /root/testdata/sf0.1

@@ -41,6 +41,13 @@ def main() -> None:
                    choices=["neighborhood", "lsh", "embedding"])
     p.add_argument("--doc-partitions", type=int, default=None)
     p.add_argument("--max-block", type=int, default=2000)
+    p.add_argument("--graphml", action="store_true",
+                   help="also export the canonical graph as "
+                        "<output>/graph_entity_relation.graphml — the "
+                        "reference's native artifact (storage.py:428-429), "
+                        "so its downstream tooling reads our output directly "
+                        "(bounded single-file export; parquet stays the "
+                        "at-scale format)")
     p.add_argument("--build-ann-index", action="store_true",
                    help="fit the IVF quantizer + inverted file over the "
                         "canonical entity VDB and persist them under "
@@ -176,6 +183,14 @@ def main() -> None:
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
     if media_bytes is not None:
         media_bytes.write.mode("overwrite").parquet(os.path.join(args.output, "media"))
+    if args.graphml:
+        from mmgraphrag_spark.sources.graphml import export_graphml
+
+        export_graphml(
+            spark.read.parquet(os.path.join(args.output, "entities")),
+            spark.read.parquet(os.path.join(args.output, "edges")),
+            os.path.join(args.output, "graph_entity_relation.graphml"),
+        )
     if args.build_ann_index:
         # index-time ANN build (reference storage.py:125-155 builds its VDB
         # during indexing): quantizer + inverted file land next to the graph
