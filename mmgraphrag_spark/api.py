@@ -1,0 +1,250 @@
+"""Drop-in facade mirroring the reference's top-level ``MMGraphRAG`` surface.
+
+The reference user writes (mmgraphrag.py:92-141)::
+
+    rag = MMGraphRAG(working_dir=..., input_mode=1)
+    rag.index("papers/")
+    print(rag.query("What does X relate to?"))
+
+``MMGraphRAGSpark`` keeps those three lines working on Spark: construct with
+a working directory and input mode, ``index(path)`` builds the knowledge
+graph (tables land under ``working_dir`` the way the reference writes its
+``kv_store_*.json`` / GraphML there), ``query(question)`` runs the local
+graph-RAG path and returns the answer string. A NEW instance pointed at an
+existing working_dir picks the indexed graph up from disk, exactly like the
+reference's ``__post_init__`` re-opening existing storage
+(mmgraphrag.py:104-124) — index once, query from any process.
+
+Everything here is composition of the library surface (sources/ingest,
+pipeline.run_pipeline, query.local_query); the class holds no logic of its
+own beyond the reference's mode dispatch (mmgraphrag.py:144-165) and
+per-instance caching of the VDB / ANN index across queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: reference input_mode dispatch (mmgraphrag.py:144-165)
+INPUT_MODE_DOCX = 0
+INPUT_MODE_PDF = 1
+INPUT_MODE_MARKDOWN = 2
+
+
+class MMGraphRAGSpark:
+    """Reference-shaped entry point: ``index(path)`` then ``query(q)``.
+
+    Parameters mirror the knobs a reference user configures on MMGraphRAG /
+    its global config: ``input_mode`` (0=docx, 1=pdf, 2=markdown a.k.a.
+    MinerU output), the LLM endpoint (offline deterministic backends when
+    None — same default split as scripts/submit_job.py), and the query-side
+    ``ann_mode``/``top_k``/``threshold`` (storage.py:298-323 defaults).
+    Extra ``pipeline_kwargs`` pass straight through to
+    :func:`mmgraphrag_spark.pipeline.run_pipeline`.
+    """
+
+    _TABLES = ("entities", "edges", "triples", "chunks", "media_spans")
+
+    def __init__(
+        self,
+        working_dir: str,
+        input_mode: int = INPUT_MODE_MARKDOWN,
+        spark: SparkSession | None = None,
+        llm_base_url: str | None = None,
+        llm_api_key: str = "",
+        llm_model: str = "gpt-4o-mini",
+        ann_mode: str = "exact",
+        top_k: int = 10,
+        threshold: float = 0.2,
+        **pipeline_kwargs,
+    ) -> None:
+        if input_mode not in (INPUT_MODE_DOCX, INPUT_MODE_PDF, INPUT_MODE_MARKDOWN):
+            raise ValueError(f"unknown input_mode: {input_mode!r}")
+        self.working_dir = working_dir
+        self.input_mode = input_mode
+        if spark is None:
+            from mmgraphrag_spark.session import build_session
+
+            spark = build_session("mmgraphrag_spark_api")
+        self.spark = spark
+        self.llm_base_url = llm_base_url
+        self.llm_api_key = llm_api_key
+        self.llm_model = llm_model
+        self.ann_mode = ann_mode
+        self.top_k = top_k
+        self.threshold = threshold
+        self.pipeline_kwargs = pipeline_kwargs
+        os.makedirs(working_dir, exist_ok=True)
+        self._kg: dict | None = None
+        self._media = None
+        self._vdb = None
+        self._ann_index = None
+
+    # ------------------------------------------------------------------ index
+
+    def _read_input(self, path: str):
+        """Mode dispatch (mmgraphrag.py:144-165) -> (documents, media_bytes).
+
+        DOCX/PDF front-ends also surface the embedded image bytes (the
+        reference extracts them to ``images/`` on disk; we keep them as a
+        binary-column table). Markdown inputs carry image REFS only — the
+        MinerU layout stores bytes beside the .md, so pass a
+        ``media_bytes`` table through ``pipeline_kwargs`` if those files
+        should feed the describer."""
+        from mmgraphrag_spark.sources import ingest
+
+        if self.input_mode == INPUT_MODE_DOCX:
+            return (
+                ingest.read_docx_dir(self.spark, path),
+                ingest.read_docx_media(self.spark, path),
+            )
+        if self.input_mode == INPUT_MODE_PDF:
+            return (
+                ingest.read_pdf_dir(self.spark, path),
+                ingest.read_pdf_media(self.spark, path),
+            )
+        return ingest.read_markdown_dir(self.spark, path), None
+
+    def _llm_backends(self) -> dict:
+        """Same endpoint->backend split as scripts/submit_job.py: one chat
+        client fans into extractor/judge/summarizer; offline deterministic
+        backends when no endpoint is configured."""
+        if not self.llm_base_url:
+            return {}
+        from mmgraphrag_spark.backends.llm import (
+            ChatClient,
+            LLMExtractor,
+            LLMJudge,
+            LLMSummarizer,
+        )
+
+        client = ChatClient(
+            self.llm_base_url, api_key=self.llm_api_key, model=self.llm_model
+        )
+        return {
+            "extractor": LLMExtractor(client),
+            "judge_backend": LLMJudge(client),
+            "summarizer": LLMSummarizer(client),
+        }
+
+    def index(self, path: str) -> dict:
+        """Build the KG from ``path`` and persist it under ``working_dir``
+        (reference aindex, mmgraphrag.py:141-184). Returns the pipeline's
+        output dict of DataFrames; subsequent :meth:`query` calls use the
+        freshly built tables without re-reading them from disk."""
+        from mmgraphrag_spark.pipeline import run_pipeline
+        from mmgraphrag_spark.plans import ParquetCheckpointer
+
+        docs, media_bytes = self._read_input(path)
+        kwargs = {**self._llm_backends(), **self.pipeline_kwargs}
+        kwargs.setdefault(
+            "checkpointer",
+            ParquetCheckpointer(self.spark, os.path.join(self.working_dir, "checkpoint")),
+        )
+        if media_bytes is not None:
+            kwargs.setdefault("media_bytes", media_bytes)
+        out = run_pipeline(self.spark, docs, **kwargs)
+        for name in self._TABLES:
+            out[name].write.mode("overwrite").parquet(
+                os.path.join(self.working_dir, name)
+            )
+        media = kwargs.get("media_bytes")
+        if media is not None:
+            media.write.mode("overwrite").parquet(
+                os.path.join(self.working_dir, "media")
+            )
+        # refreshed graph invalidates every query-side cache
+        self._kg = {name: out[name] for name in self._TABLES}
+        self._media = media
+        self._vdb = None
+        self._ann_index = None
+        return out
+
+    # ------------------------------------------------------------------ query
+
+    def _load_kg(self) -> None:
+        """Re-open an already-indexed working_dir (reference __post_init__
+        storage reload, mmgraphrag.py:104-124)."""
+        if self._kg is not None:
+            return
+        ent_dir = os.path.join(self.working_dir, "entities")
+        if not os.path.isdir(ent_dir):
+            raise FileNotFoundError(
+                f"no indexed graph under {self.working_dir!r}: call index() first"
+            )
+        self._kg = {
+            name: self.spark.read.parquet(os.path.join(self.working_dir, name))
+            for name in self._TABLES
+            if os.path.isdir(os.path.join(self.working_dir, name))
+        }
+        media_dir = os.path.join(self.working_dir, "media")
+        self._media = (
+            self.spark.read.parquet(media_dir) if os.path.isdir(media_dir) else None
+        )
+
+    def _query_state(self):
+        """VDB / ANN index built once per instance and shared across
+        queries (a persisted submit_job --build-ann-index directory under
+        working_dir/ann_index is loaded instead of refit)."""
+        from pyspark.sql import functions as F
+
+        from mmgraphrag_spark.query import build_entity_vdb
+
+        idx_dir = os.path.join(self.working_dir, "ann_index")
+        if (
+            self.ann_mode == "ivf"
+            and self._ann_index is None
+            and os.path.isdir(os.path.join(idx_dir, "centroids"))
+        ):
+            from mmgraphrag_spark.operators.similarity import load_ivf_index
+
+            self._ann_index = load_ivf_index(self.spark, idx_dir)
+        if self._ann_index is not None:
+            return None, self._ann_index
+        if self._vdb is None:
+            self._vdb = build_entity_vdb(self._kg["entities"]).localCheckpoint()
+        if self.ann_mode == "ivf" and self._ann_index is None:
+            from mmgraphrag_spark.operators.similarity import build_ivf_index
+
+            self._ann_index = build_ivf_index(
+                self._vdb.select(
+                    F.col("entity_name").alias("vec_id"),
+                    F.col("vec").alias("embedding"),
+                )
+            )
+        return self._vdb, self._ann_index
+
+    def query(self, question: str) -> str:
+        """Local graph-RAG query (reference aquery -> local_query,
+        mmgraphrag.py:126-135); returns the answer string. Context +
+        answer are appended to the ``working_dir/query_log`` parquet sink
+        (S9)."""
+        from mmgraphrag_spark.query import local_query
+
+        self._load_kg()
+        vdb, ann_index = self._query_state()
+        answerer = None
+        if self.llm_base_url:
+            from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer
+
+            answerer = LLMAnswerer(
+                ChatClient(
+                    self.llm_base_url, api_key=self.llm_api_key, model=self.llm_model
+                )
+            )
+        out = local_query(
+            self.spark,
+            self._kg,
+            question,
+            top_k=self.top_k,
+            threshold=self.threshold,
+            answerer=answerer,
+            vdb=vdb,
+            log_dir=os.path.join(self.working_dir, "query_log"),
+            ann_mode=self.ann_mode,
+            ann_index=ann_index,
+            media=self._media,
+        )
+        return out["answer"]

@@ -1,0 +1,73 @@
+"""MMGraphRAGSpark facade: the reference's three-line surface
+(construct -> index(path) -> query(q), mmgraphrag.py:92-141) on Spark."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mmgraphrag_spark import datagen
+from mmgraphrag_spark.api import INPUT_MODE_MARKDOWN, MMGraphRAGSpark
+
+
+@pytest.fixture(scope="module")
+def md_corpus_dir(tmp_path_factory):
+    """A directory of .md files carrying datagen-style sentences, so the
+    deterministic extractor finds real entities/relations."""
+    root = tmp_path_factory.mktemp("md_corpus")
+    corpus = datagen.generate_documents(n_docs=6)
+    for i, doc in enumerate(corpus.docs):
+        text = "\n\n".join(s[1] for s in doc.spans if s[0] == "text")
+        (root / f"doc_{i}.md").write_text(text, encoding="utf-8")
+    return str(root)
+
+
+def test_index_then_query_roundtrip(spark, md_corpus_dir, tmp_path):
+    wd = str(tmp_path / "wd")
+    rag = MMGraphRAGSpark(wd, input_mode=INPUT_MODE_MARKDOWN, spark=spark)
+    out = rag.index(md_corpus_dir)
+    assert out["triples"].count() > 0
+    # tables persisted under working_dir like the reference's kv stores
+    for name in ("entities", "edges", "triples", "chunks"):
+        assert os.path.isdir(os.path.join(wd, name)), name
+    answer = rag.query("What is ENTITY_2 related to?")
+    assert isinstance(answer, str) and answer
+    # S9 sink: the query log landed in working_dir
+    assert os.path.isdir(os.path.join(wd, "query_log"))
+
+
+def test_fresh_instance_reopens_indexed_working_dir(spark, md_corpus_dir, tmp_path):
+    """A NEW instance pointed at an indexed working_dir answers without
+    calling index() — the reference's __post_init__ storage-reload
+    semantics (mmgraphrag.py:104-124)."""
+    wd = str(tmp_path / "wd")
+    MMGraphRAGSpark(wd, spark=spark).index(md_corpus_dir)
+    reopened = MMGraphRAGSpark(wd, spark=spark)
+    answer = reopened.query("What is ENTITY_2 related to?")
+    assert isinstance(answer, str) and answer
+
+
+def test_query_before_index_raises(spark, tmp_path):
+    rag = MMGraphRAGSpark(str(tmp_path / "empty_wd"), spark=spark)
+    with pytest.raises(FileNotFoundError, match="index"):
+        rag.query("anything")
+
+
+def test_bad_input_mode_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="input_mode"):
+        MMGraphRAGSpark(str(tmp_path / "wd"), input_mode=7, spark=spark)
+
+
+def test_ivf_query_mode_caches_index(spark, md_corpus_dir, tmp_path):
+    """ann_mode='ivf' on the facade fits the quantizer once per instance;
+    a second query reuses it (cache object identity)."""
+    wd = str(tmp_path / "wd")
+    rag = MMGraphRAGSpark(wd, spark=spark, ann_mode="ivf", threshold=0.0)
+    rag.index(md_corpus_dir)
+    a1 = rag.query("What is ENTITY_2 related to?")
+    idx_after_first = rag._ann_index
+    assert idx_after_first is not None
+    a2 = rag.query("What is ENTITY_3 related to?")
+    assert rag._ann_index is idx_after_first
+    assert isinstance(a1, str) and isinstance(a2, str)
