@@ -133,16 +133,24 @@ class MMGraphRAGSpark:
         """Build the KG from ``path`` and persist it under ``working_dir``
         (reference aindex, mmgraphrag.py:141-184). Returns the pipeline's
         output dict of DataFrames; subsequent :meth:`query` calls use the
-        freshly built tables without re-reading them from disk."""
+        freshly built tables without re-reading them from disk.
+
+        index() always reflects ``path``: the facade's default checkpoint
+        directory is cleared first, because ParquetCheckpointer otherwise
+        resumes committed stages and a re-index over a DIFFERENT corpus
+        would silently return the previous graph. Users who want
+        crash-resume semantics pass ``checkpointer=`` explicitly (or use
+        scripts/submit_job.py, where --checkpoint is a deliberate choice)
+        and own the stale-stage trade-off."""
         from mmgraphrag_spark.pipeline import run_pipeline
-        from mmgraphrag_spark.plans import ParquetCheckpointer
+        from mmgraphrag_spark.plans import ParquetCheckpointer, fs_delete
 
         docs, media_bytes = self._read_input(path)
         kwargs = {**self._llm_backends(), **self.pipeline_kwargs}
-        kwargs.setdefault(
-            "checkpointer",
-            ParquetCheckpointer(self.spark, os.path.join(self.working_dir, "checkpoint")),
-        )
+        if "checkpointer" not in kwargs:
+            ckpt_dir = os.path.join(self.working_dir, "checkpoint")
+            fs_delete(self.spark, ckpt_dir)
+            kwargs["checkpointer"] = ParquetCheckpointer(self.spark, ckpt_dir)
         if media_bytes is not None:
             kwargs.setdefault("media_bytes", media_bytes)
         out = run_pipeline(self.spark, docs, **kwargs)
@@ -155,7 +163,12 @@ class MMGraphRAGSpark:
             media.write.mode("overwrite").parquet(
                 os.path.join(self.working_dir, "media")
             )
-        # refreshed graph invalidates every query-side cache
+        else:
+            fs_delete(self.spark, os.path.join(self.working_dir, "media"))
+        # refreshed graph invalidates every query-side cache, INCLUDING a
+        # persisted ann_index built over the previous graph's vectors —
+        # leaving it would make _query_state load stale entities
+        fs_delete(self.spark, os.path.join(self.working_dir, "ann_index"))
         self._kg = {name: out[name] for name in self._TABLES}
         self._media = media
         self._vdb = None
@@ -167,36 +180,39 @@ class MMGraphRAGSpark:
     def _load_kg(self) -> None:
         """Re-open an already-indexed working_dir (reference __post_init__
         storage reload, mmgraphrag.py:104-124)."""
+        from mmgraphrag_spark.plans import fs_exists
+
         if self._kg is not None:
             return
         ent_dir = os.path.join(self.working_dir, "entities")
-        if not os.path.isdir(ent_dir):
+        if not fs_exists(self.spark, ent_dir):
             raise FileNotFoundError(
                 f"no indexed graph under {self.working_dir!r}: call index() first"
             )
         self._kg = {
             name: self.spark.read.parquet(os.path.join(self.working_dir, name))
             for name in self._TABLES
-            if os.path.isdir(os.path.join(self.working_dir, name))
+            if fs_exists(self.spark, os.path.join(self.working_dir, name))
         }
         media_dir = os.path.join(self.working_dir, "media")
         self._media = (
-            self.spark.read.parquet(media_dir) if os.path.isdir(media_dir) else None
+            self.spark.read.parquet(media_dir)
+            if fs_exists(self.spark, media_dir)
+            else None
         )
 
     def _query_state(self):
         """VDB / ANN index built once per instance and shared across
         queries (a persisted submit_job --build-ann-index directory under
         working_dir/ann_index is loaded instead of refit)."""
-        from pyspark.sql import functions as F
-
-        from mmgraphrag_spark.query import build_entity_vdb
+        from mmgraphrag_spark.plans import fs_exists
+        from mmgraphrag_spark.query import build_entity_vdb, vdb_as_corpus
 
         idx_dir = os.path.join(self.working_dir, "ann_index")
         if (
             self.ann_mode == "ivf"
             and self._ann_index is None
-            and os.path.isdir(os.path.join(idx_dir, "centroids"))
+            and fs_exists(self.spark, os.path.join(idx_dir, "centroids"))
         ):
             from mmgraphrag_spark.operators.similarity import load_ivf_index
 
@@ -208,12 +224,7 @@ class MMGraphRAGSpark:
         if self.ann_mode == "ivf" and self._ann_index is None:
             from mmgraphrag_spark.operators.similarity import build_ivf_index
 
-            self._ann_index = build_ivf_index(
-                self._vdb.select(
-                    F.col("entity_name").alias("vec_id"),
-                    F.col("vec").alias("embedding"),
-                )
-            )
+            self._ann_index = build_ivf_index(vdb_as_corpus(self._vdb))
         return self._vdb, self._ann_index
 
     def query(self, question: str) -> str:

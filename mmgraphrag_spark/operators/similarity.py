@@ -287,12 +287,19 @@ def save_ivf_index(index: tuple[DataFrame, DataFrame], path: str) -> None:
     persists its VDB at indexing time, storage.py:125-155): a query service
     indexes once with `submit_job --build-ann-index` and every later
     `query_job --ann-mode ivf` loads instead of refitting. Two parquet
-    tables — the k-row quantizer and the full inverted file; the inverted
-    file stays hash-partitioned by write, so the per-query probe join reads
-    only the probed cells' row groups after label pushdown."""
+    tables — the k-row quantizer and the inverted file partitionBy'd on the
+    cell label, so the per-query probe join (a broadcast join on the
+    partition column) dynamic-partition-prunes to the probed cells instead
+    of scanning the whole file. Write order is load-order-safe: the
+    inverted file lands first and the k-row quantizer last, so the
+    ``centroids/`` directory the loaders probe for doubles as the commit
+    marker — a crash mid-save never leaves a half-index that looks
+    loadable."""
     centroids, inverted = index
+    inverted.write.mode("overwrite").partitionBy("label").parquet(
+        os.path.join(path, "inverted")
+    )
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    inverted.write.mode("overwrite").parquet(os.path.join(path, "inverted"))
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -334,6 +341,8 @@ def ivf_topk(
     pytest (approximate results have no SQL oracle)."""
     if index is not None:
         centroids, inverted = index
+    elif corpus is None:
+        raise ValueError("corpus=None requires a prebuilt index")
     else:
         centroids = kmeans_fit(corpus, k=n_centroids, max_iter=max_iter,
                                id_col=id_col, vec_col=vec_col)

@@ -3,4 +3,6 @@
 from mmgraphrag_spark.plans.checkpoint import (  # noqa: F401
     LocalCheckpointer,
     ParquetCheckpointer,
+    fs_delete,
+    fs_exists,
 )

@@ -103,6 +103,27 @@ class _HadoopFS:
             if st.isDirectory()
         )
 
+    def delete(self, path: str) -> None:
+        if self.exists(path):
+            self._fs.delete(self._Path(path), True)
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe (file://, hdfs://, s3a://, ...).
+
+    ``os.path.isdir`` is always False for object-store URIs, which silently
+    disables any feature gated on it (a persisted ann_index, a media table)
+    the moment the output root moves off the driver's disk — probe through
+    the Hadoop FileSystem the data was written with instead."""
+    return _HadoopFS(spark, path).exists(path)
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` (no-op when absent) via the Hadoop FS —
+    the cleanup twin of :func:`fs_exists` for retiring stale artifacts
+    (e.g. a previous run's ann_index after a re-index without the flag)."""
+    _HadoopFS(spark, path).delete(path)
+
 
 class ParquetCheckpointer:
     """Durable per-stage snapshots with commit markers and lineage counters."""

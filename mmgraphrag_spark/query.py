@@ -73,6 +73,15 @@ def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
     return src.mapInPandas(run, "entity_name string, vec array<double>")
 
 
+def vdb_as_corpus(vdb: DataFrame) -> DataFrame:
+    """Project the entity VDB into the (vec_id, embedding) corpus shape the
+    operators/similarity functions consume — the single home of that schema
+    contract (every IVF index builder call site routes through here)."""
+    return vdb.select(
+        F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+
+
 # ---------------------------------------------------------------------------
 # retrieval
 # ---------------------------------------------------------------------------
@@ -153,9 +162,7 @@ def ann_entities_approx(
         corpus = None
     else:
         spark = vdb.sparkSession
-        corpus = vdb.select(
-            F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
-        )
+        corpus = vdb_as_corpus(vdb)
     qdf = spark.createDataFrame(
         [("__query__", [float(x) for x in query_vec])],
         "vec_id string, embedding array<double>",

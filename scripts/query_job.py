@@ -80,15 +80,18 @@ def main() -> None:
         )
     except AnalysisException:
         pass
-    # an EXPLICIT --media is always read (it may be a remote path isdir can't
-    # see — a read failure should surface, not silently drop the images);
-    # only the implicit <kg>/media default probes (isdir, so an absent table
-    # doesn't trip Spark's noisy file-probe stack trace) and tolerates absence
+    # an EXPLICIT --media is always read (a read failure should surface, not
+    # silently drop the images); only the implicit <kg>/media default probes
+    # (scheme-aware fs_exists — os.path.isdir is always False for s3a://
+    # etc. and a blind read trips Spark's noisy file-probe stack trace) and
+    # tolerates absence
+    from mmgraphrag_spark.plans import fs_exists
+
     if args.media:
         media = spark.read.parquet(args.media)
     else:
         default_media = os.path.join(args.kg, "media")
-        media = spark.read.parquet(default_media) if os.path.isdir(default_media) else None
+        media = spark.read.parquet(default_media) if fs_exists(spark, default_media) else None
     answerer = None
     if args.llm_base_url:
         from mmgraphrag_spark.backends.llm import ChatClient, LLMAnswerer
@@ -103,10 +106,14 @@ def main() -> None:
     from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
     from mmgraphrag_spark.query import build_entity_vdb
 
+    from mmgraphrag_spark.query import vdb_as_corpus
+
     ann_index = None
     vdb = None
     idx_dir = os.path.join(args.kg, "ann_index")
-    if args.ann_mode == "ivf" and os.path.isdir(os.path.join(idx_dir, "centroids")):
+    if args.ann_mode == "ivf" and fs_exists(
+        spark, os.path.join(idx_dir, "centroids")
+    ):
         from mmgraphrag_spark.operators.similarity import load_ivf_index
 
         ann_index = load_ivf_index(spark, idx_dir)
@@ -117,11 +124,7 @@ def main() -> None:
         if args.ann_mode == "ivf":
             from mmgraphrag_spark.operators.similarity import build_ivf_index
 
-            ann_index = build_ivf_index(
-                vdb.select(
-                    vdb.entity_name.alias("vec_id"), vdb.vec.alias("embedding")
-                )
-            )
+            ann_index = build_ivf_index(vdb_as_corpus(vdb))
     for question in questions:
         out = local_query(
             spark,

@@ -181,8 +181,15 @@ def main() -> None:
     # query_job.py) needs the text units for context assembly
     for name in ("entities", "edges", "triples", "chunks", "media_spans"):
         out[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+    # retire optional artifacts a PREVIOUS run into this --output left behind
+    # when their flag/input is absent this run: a stale ann_index/media/graphml
+    # would otherwise be silently picked up by query_job against the NEW graph
+    from mmgraphrag_spark.plans import fs_delete
+
     if media_bytes is not None:
         media_bytes.write.mode("overwrite").parquet(os.path.join(args.output, "media"))
+    else:
+        fs_delete(spark, os.path.join(args.output, "media"))
     if args.graphml:
         from mmgraphrag_spark.sources.graphml import export_graphml
 
@@ -191,28 +198,27 @@ def main() -> None:
             spark.read.parquet(os.path.join(args.output, "edges")),
             os.path.join(args.output, "graph_entity_relation.graphml"),
         )
+    else:
+        fs_delete(spark, os.path.join(args.output, "graph_entity_relation.graphml"))
     if args.build_ann_index:
         # index-time ANN build (reference storage.py:125-155 builds its VDB
         # during indexing): quantizer + inverted file land next to the graph
         # so query_job --ann-mode ivf loads instead of refitting per process
-        from pyspark.sql import functions as F
-
         from mmgraphrag_spark.operators.similarity import (
             build_ivf_index,
             save_ivf_index,
         )
-        from mmgraphrag_spark.query import build_entity_vdb
+        from mmgraphrag_spark.query import build_entity_vdb, vdb_as_corpus
 
         vdb = build_entity_vdb(
             spark.read.parquet(os.path.join(args.output, "entities"))
         )
-        corpus = vdb.select(
-            F.col("entity_name").alias("vec_id"), F.col("vec").alias("embedding")
-        )
         save_ivf_index(
-            build_ivf_index(corpus, n_centroids=args.ann_centroids),
+            build_ivf_index(vdb_as_corpus(vdb), n_centroids=args.ann_centroids),
             os.path.join(args.output, "ann_index"),
         )
+    else:
+        fs_delete(spark, os.path.join(args.output, "ann_index"))
     n = spark.read.parquet(os.path.join(args.output, "triples")).count()
     print(f"DONE triples={n} output={args.output}")
     spark.stop()

@@ -59,6 +59,47 @@ def test_bad_input_mode_rejected(spark, tmp_path):
         MMGraphRAGSpark(str(tmp_path / "wd"), input_mode=7, spark=spark)
 
 
+def test_reindex_reflects_new_corpus_and_drops_stale_index(spark, md_corpus_dir, tmp_path):
+    """Re-indexing a working_dir with a DIFFERENT corpus must not resume the
+    previous run's stage snapshots (silent wrong output) and must retire a
+    persisted ann_index built over the previous graph's vectors."""
+    import shutil
+
+    wd = str(tmp_path / "wd")
+    rag = MMGraphRAGSpark(wd, spark=spark)
+    rag.index(md_corpus_dir)
+    # fake a persisted index from an earlier submit_job --build-ann-index
+    os.makedirs(os.path.join(wd, "ann_index", "centroids"), exist_ok=True)
+
+    corpus_b = str(tmp_path / "corpus_b")
+    os.makedirs(corpus_b)
+    with open(os.path.join(corpus_b, "only.md"), "w", encoding="utf-8") as f:
+        f.write(
+            "ENTITY_90 is a PERSON associated with topic_0. "
+            "ENTITY_90 RELATES_TO ENTITY_91 (w=3) regarding topic_0. "
+            "ENTITY_91 is a GEO associated with topic_0."
+        )
+    out = rag.index(corpus_b)
+    names = {r.entity_name for r in out["entities"].collect()}
+    assert '"ENTITY_90"' in names
+    # corpus A's graph is gone — stages were rebuilt, not resumed
+    assert '"ENTITY_2"' not in names
+    assert not os.path.isdir(os.path.join(wd, "ann_index"))
+    shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_ivf_topk_requires_corpus_or_index(spark):
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.operators import similarity as SIM
+
+    q = spark.range(1).select(
+        F.lit("q").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="prebuilt index"):
+        SIM.ivf_topk(None, q)
+
+
 def test_ivf_query_mode_caches_index(spark, md_corpus_dir, tmp_path):
     """ann_mode='ivf' on the facade fits the quantizer once per instance;
     a second query reuses it (cache object identity)."""
