@@ -87,12 +87,12 @@ class MMGraphRAGSpark:
     def _read_input(self, path: str):
         """Mode dispatch (mmgraphrag.py:144-165) -> (documents, media_bytes).
 
-        DOCX/PDF front-ends also surface the embedded image bytes (the
-        reference extracts them to ``images/`` on disk; we keep them as a
-        binary-column table). Markdown inputs carry image REFS only — the
-        MinerU layout stores bytes beside the .md, so pass a
-        ``media_bytes`` table through ``pipeline_kwargs`` if those files
-        should feed the describer."""
+        Every mode surfaces its image bytes as a binary-column table (the
+        reference extracts them to ``images/`` on disk): DOCX/PDF from the
+        embedded blobs, markdown from the MinerU-layout files the tags
+        reference relatively (read_markdown_media). Exotic markdown
+        layouts (absolute/external refs) pass ``media_bytes`` through
+        ``pipeline_kwargs`` instead."""
         from mmgraphrag_spark.sources import ingest
 
         if self.input_mode == INPUT_MODE_DOCX:
@@ -105,7 +105,10 @@ class MMGraphRAGSpark:
                 ingest.read_pdf_dir(self.spark, path),
                 ingest.read_pdf_media(self.spark, path),
             )
-        return ingest.read_markdown_dir(self.spark, path), None
+        return (
+            ingest.read_markdown_dir(self.spark, path),
+            ingest.read_markdown_media(self.spark, path),
+        )
 
     def _llm_backends(self) -> dict:
         """Same endpoint->backend split as scripts/submit_job.py: one chat

@@ -97,6 +97,60 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
     return _collect_documents(d)
 
 
+def read_markdown_media(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{jpg,jpeg,png,gif,bmp,webp}",
+) -> DataFrame:
+    """MinerU-layout image bytes -> (media_ref, mime, content) binary table.
+
+    The reference's input_mode 2 reads a MinerU output directory where the
+    extracted images live beside the .md and the markdown tags reference
+    them RELATIVELY (``![cap](images/x.jpg)``, pdf2md_preprocessing.py
+    layout). This is the S7 media-bytes side of read_markdown_dir:
+    media_ref is the image file's path relative to ``path`` — exactly the
+    tag text markdown_to_documents emits — so the two tables join.
+    Distributed: Spark's binaryFile source recursively lists + splits the
+    image files across tasks; no driver-side IO. Absolute/external refs
+    (http, /abs) aren't covered — pass an explicit media_bytes table for
+    those layouts."""
+    import os
+    import re
+
+    # a RELATIVE local root would never prefix-match the absolute file URIs
+    # Spark lists, leaving media_ref as a full path that joins nothing —
+    # absolutize up front (scheme'd URIs pass through untouched)
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        path = os.path.abspath(path)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    mimes = {
+        "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+        "gif": "image/gif", "bmp": "image/bmp", "webp": "image/webp",
+    }
+    root = _file_key(path).rstrip("/")
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", ""),
+        "^/*" + re.escape(root) + "/",
+        "",
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in mimes.items() for x in kv]
+        )[ext],
+        F.lit("application/octet-stream"),
+    )
+    return raw.select(
+        rel.alias("media_ref"), mime.alias("mime"), F.col("content")
+    )
+
+
 def _collect_documents(flat: DataFrame) -> DataFrame:
     """(doc_id, pord, sord, kind, text, media_ref) -> documents(doc_id, spans)
     with per-doc offsets in (pord, sord) order. Shared by every front-end

@@ -59,6 +59,34 @@ def test_bad_input_mode_rejected(spark, tmp_path):
         MMGraphRAGSpark(str(tmp_path / "wd"), input_mode=7, spark=spark)
 
 
+def test_markdown_mode_surfaces_minerus_image_bytes(spark, tmp_path):
+    """input_mode=2 (MinerU layout): image files beside the .md, referenced
+    relatively by the tags, land in the working_dir media table keyed by the
+    SAME ref string the document spans carry — so the query path's
+    multimodal branch can attach the bytes."""
+    src = tmp_path / "mineru_out"
+    (src / "images").mkdir(parents=True)
+    png = b"\x89PNG\r\n\x1a\nfakebytes"
+    (src / "images" / "fig1.png").write_bytes(png)
+    (src / "doc.md").write_text(
+        "ENTITY_5 is a PERSON associated with topic_1.\n\n"
+        "![figure one](images/fig1.png)\n\n"
+        "ENTITY_5 RELATES_TO ENTITY_6 (w=2) regarding topic_1.",
+        encoding="utf-8",
+    )
+    wd = str(tmp_path / "wd")
+    rag = MMGraphRAGSpark(wd, input_mode=INPUT_MODE_MARKDOWN, spark=spark)
+    out = rag.index(str(src))
+    media = spark.read.parquet(os.path.join(wd, "media"))
+    rows = media.collect()
+    assert [(r.media_ref, r.mime, bytes(r.content)) for r in rows] == [
+        ("images/fig1.png", "image/png", png)
+    ]
+    # the document spans carry the identical ref — the tables join
+    spans = out["media_spans"].collect()
+    assert any(r.media_ref == "images/fig1.png" for r in spans)
+
+
 def test_reindex_reflects_new_corpus_and_drops_stale_index(spark, md_corpus_dir, tmp_path):
     """Re-indexing a working_dir with a DIFFERENT corpus must not resume the
     previous run's stage snapshots (silent wrong output) and must retire a
