@@ -149,9 +149,19 @@ class MMGraphRAGSpark:
         from mmgraphrag_spark.plans import ParquetCheckpointer, fs_delete
 
         docs, media_bytes = self._read_input(path)
+        if media_bytes is not None and media_bytes.isEmpty():
+            media_bytes = None  # pure-text corpus: no media table, no empty write
         kwargs = {**self._llm_backends(), **self.pipeline_kwargs}
         if "checkpointer" not in kwargs:
             ckpt_dir = os.path.join(self.working_dir, "checkpoint")
+            # the cached _kg DataFrames are backed by the checkpoint parquet
+            # about to be deleted — drop them FIRST, so a failed re-index
+            # leaves query() reloading the intact on-disk tables instead of
+            # crashing on dangling snapshots
+            self._kg = None
+            self._media = None
+            self._vdb = None
+            self._ann_index = None
             fs_delete(self.spark, ckpt_dir)
             kwargs["checkpointer"] = ParquetCheckpointer(self.spark, ckpt_dir)
         if media_bytes is not None:
@@ -162,12 +172,15 @@ class MMGraphRAGSpark:
                 os.path.join(self.working_dir, name)
             )
         media = kwargs.get("media_bytes")
+        media_dir = os.path.join(self.working_dir, "media")
         if media is not None:
-            media.write.mode("overwrite").parquet(
-                os.path.join(self.working_dir, "media")
-            )
+            media.write.mode("overwrite").parquet(media_dir)
+            # serve queries from the written parquet, not the source scan —
+            # a binaryFile-backed media plan would re-read every image byte
+            # on each query that touches it (CLAUDE.md rule 8 precedent)
+            media = self.spark.read.parquet(media_dir)
         else:
-            fs_delete(self.spark, os.path.join(self.working_dir, "media"))
+            fs_delete(self.spark, media_dir)
         # refreshed graph invalidates every query-side cache, INCLUDING a
         # persisted ann_index built over the previous graph's vectors —
         # leaving it would make _query_state load stale entities

@@ -290,12 +290,17 @@ def save_ivf_index(index: tuple[DataFrame, DataFrame], path: str) -> None:
     tables — the k-row quantizer and the inverted file partitionBy'd on the
     cell label, so the per-query probe join (a broadcast join on the
     partition column) dynamic-partition-prunes to the probed cells instead
-    of scanning the whole file. Write order is load-order-safe: the
-    inverted file lands first and the k-row quantizer last, so the
-    ``centroids/`` directory the loaders probe for doubles as the commit
-    marker — a crash mid-save never leaves a half-index that looks
+    of scanning the whole file. Write order is load-order-safe EVEN over an
+    existing index: the whole directory is deleted first (also forestalling
+    partitionOverwriteMode=dynamic merging a previous index's surviving
+    label dirs into this one), then the inverted file lands, then the k-row
+    quantizer — so the ``centroids/`` directory the loaders probe for is a
+    true commit marker and a crash mid-save never leaves anything
     loadable."""
+    from mmgraphrag_spark.plans import fs_delete
+
     centroids, inverted = index
+    fs_delete(centroids.sparkSession, path)
     inverted.write.mode("overwrite").partitionBy("label").parquet(
         os.path.join(path, "inverted")
     )

@@ -56,7 +56,13 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
     text_clean = F.trim(F.regexp_replace(F.col("para"), _IMG_RE, " "))
     # all image tags in the paragraph: array<struct<caption, ref>>
     caps = F.regexp_extract_all(F.col("para"), F.lit(_IMG_RE), 1)
-    refs = F.regexp_extract_all(F.col("para"), F.lit(_IMG_RE), 2)
+    # strip a leading ./ so `![cap](./images/x.png)` and `(images/x.png)`
+    # carry the SAME ref — read_markdown_media keys its bytes table by the
+    # path relative to the corpus root, and the join is exact-string
+    refs = F.transform(
+        F.regexp_extract_all(F.col("para"), F.lit(_IMG_RE), 2),
+        lambda r: F.regexp_replace(r, r"^\./", ""),
+    )
     imgs = F.zip_with(
         caps, refs,
         lambda c, r: F.struct(c.alias("caption"), r.alias("ref")),
@@ -100,7 +106,7 @@ def markdown_to_documents(raw: DataFrame) -> DataFrame:
 def read_markdown_media(
     spark: SparkSession,
     path: str,
-    glob: str = "*.{jpg,jpeg,png,gif,bmp,webp}",
+    glob: str = "*.{jpg,jpeg,png,gif,bmp,webp,JPG,JPEG,PNG,GIF,BMP,WEBP}",
 ) -> DataFrame:
     """MinerU-layout image bytes -> (media_ref, mime, content) binary table.
 

@@ -104,9 +104,7 @@ def main() -> None:
     # time at all) ONCE and shared across every question in the list,
     # instead of per local_query call
     from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
-    from mmgraphrag_spark.query import build_entity_vdb
-
-    from mmgraphrag_spark.query import vdb_as_corpus
+    from mmgraphrag_spark.query import build_entity_vdb, vdb_as_corpus
 
     ann_index = None
     vdb = None

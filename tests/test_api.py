@@ -68,9 +68,11 @@ def test_markdown_mode_surfaces_minerus_image_bytes(spark, tmp_path):
     (src / "images").mkdir(parents=True)
     png = b"\x89PNG\r\n\x1a\nfakebytes"
     (src / "images" / "fig1.png").write_bytes(png)
+    # the ./ form is common MinerU/markdown output — must normalize to the
+    # same ref string the media table carries
     (src / "doc.md").write_text(
         "ENTITY_5 is a PERSON associated with topic_1.\n\n"
-        "![figure one](images/fig1.png)\n\n"
+        "![figure one](./images/fig1.png)\n\n"
         "ENTITY_5 RELATES_TO ENTITY_6 (w=2) regarding topic_1.",
         encoding="utf-8",
     )
@@ -114,6 +116,54 @@ def test_reindex_reflects_new_corpus_and_drops_stale_index(spark, md_corpus_dir,
     assert '"ENTITY_2"' not in names
     assert not os.path.isdir(os.path.join(wd, "ann_index"))
     shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_failed_reindex_leaves_query_working_from_disk(spark, md_corpus_dir, tmp_path, monkeypatch):
+    """A re-index that dies mid-pipeline must not poison query(): the cached
+    DataFrames (backed by the cleared checkpoint) are dropped up front, so
+    the next query reloads the intact on-disk tables."""
+    import mmgraphrag_spark.pipeline as pipeline_mod
+
+    wd = str(tmp_path / "wd")
+    rag = MMGraphRAGSpark(wd, spark=spark)
+    rag.index(md_corpus_dir)
+    assert rag.query("What is ENTITY_2 related to?")
+
+    real = pipeline_mod.run_pipeline
+    monkeypatch.setattr(pipeline_mod, "run_pipeline",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        rag.index(md_corpus_dir)
+    monkeypatch.setattr(pipeline_mod, "run_pipeline", real)
+    # the old graph is still on disk; query must answer from it
+    assert rag.query("What is ENTITY_2 related to?")
+
+
+def test_save_ivf_index_replaces_stale_index_dir(spark, tmp_path):
+    """Re-saving over an existing ann_index must leave NOTHING of the old
+    one: stale label partitions would merge under dynamic partition
+    overwrite, and a surviving centroids/ would make a crashed half-save
+    look loadable."""
+    from pyspark.sql import functions as F
+
+    from mmgraphrag_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx_dir = tmp_path / "ann_index"
+    stale = idx_dir / "inverted" / "label=999"
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_bytes(b"stale")
+    save_ivf_index(build_ivf_index(emb, n_centroids=4, max_iter=2), str(idx_dir))
+    assert not stale.exists()
+    _, inverted = load_ivf_index(spark, str(idx_dir))
+    labels = {r.label for r in inverted.select("label").distinct().collect()}
+    assert 999 not in labels and labels
 
 
 def test_ivf_topk_requires_corpus_or_index(spark):
