@@ -292,8 +292,9 @@ def near_dup_groups(
     Output: one row per input row — (id, keep_id, is_duplicate)."""
     from mmgraphrag_spark.operators.fusion import connected_components
 
-    # near-dup graphs CHAIN (a~b~c via incremental drift): labels move one
-    # hop per round, so max_iter bounds the reachable component DIAMETER;
+    # near-dup graphs CHAIN (a~b~c via incremental drift): the hash-min loop
+    # pointer-jumps through its own previous round, so label reach is
+    # 2^rounds - 1 and max_iter=50 covers any materializable chain depth;
     # connected_components raises rather than returning unconverged labels
     comp = connected_components(
         pairs.select(F.col("a").alias("alias"), F.col("b").alias("canonical")),

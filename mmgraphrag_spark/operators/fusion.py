@@ -1005,16 +1005,28 @@ def apply_cluster_fusion(
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Hash-min label propagation over undirected (alias, canonical) pairs.
+    """Hash-min label propagation with stale pointer jumping over undirected
+    (alias, canonical) pairs.
 
     Returns (entity_name, component) where component = min name/id reachable.
     Iterates until fixpoint with localCheckpoint per round to cut lineage
     (SURVEY §4 "connected components"); alias graphs are shallow (stars), so
-    this converges in 2-3 rounds — but labels move one hop per round, so
-    long CHAINS (near-dup drift graphs) need diameter-many rounds. Raises
-    RuntimeError instead of silently returning unconverged labels when
-    ``max_iter`` is exhausted; callers with deep graphs raise ``max_iter``.
-    """
+    this converges in 2-3 rounds. Plain hash-min moves labels ONE hop per
+    round — diameter-many rounds for long CHAINS (near-dup drift graphs at
+    web scale chain for hundreds of hops). Each round therefore adds a
+    pointer jump THROUGH THE PREVIOUS ROUND'S materialized labels: labels
+    are node ids, so after the neighbor-min step the new label ``mid`` is
+    joined back against last round's (entity_name -> component) map and
+    replaced by ``component(mid)`` when smaller. The jump side is already
+    checkpointed (it IS last round's output), so the extra equi-join
+    recomputes nothing and the loop stays ONE driver action per round;
+    min-label reach grows 2^k - 1 after k rounds (each round: +1 hop from
+    the neighbor step, then doubling through the stale map), so max_iter=50
+    covers any graph this engine could materialize. The late-round jump key
+    skews toward component minima — probe-side skew on an equi-join, which
+    AQE skew-join splits (session.py enables it). Raises RuntimeError
+    instead of silently returning unconverged labels when ``max_iter`` is
+    exhausted (a safety net, no longer a practical bound)."""
     # cut the (potentially huge) upstream lineage ONCE — every loop iteration
     # re-reads these edges, and without this the whole pipeline above would be
     # recomputed per round
@@ -1036,24 +1048,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("a").alias("entity_name"))
             .agg(F.min("component").alias("nbr_comp"))
         )
+        stepped = comp.join(nbr_min, "entity_name", "left").select(
+            "entity_name",
+            F.col("component").alias("old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+            ).alias("mid"),
+        )
+        # stale pointer jump: mid is a node id, so last round's checkpointed
+        # map gives component(mid) without recomputing anything this round
+        jumpmap = comp.select(
+            F.col("entity_name").alias("mid"), F.col("component").alias("jumped")
+        )
+        final_col = F.least(F.col("mid"), F.coalesce(F.col("jumped"), F.col("mid")))
         # ONE driver action per round: the convergence probe is an
-        # Observation riding the localCheckpoint materialization (a label
-        # changes iff a neighbor's component undercuts the current one, so
-        # old-vs-new needs no second join/count pass — the probe used to be
-        # a separate per-round action, i.e. 2x driver round-trips).
+        # Observation riding the localCheckpoint materialization (the
+        # fixpoint condition "no label decreased this round" is exactly
+        # hash-min convergence — final == old for every row forces mid ==
+        # old, i.e. adjacent labels equal, i.e. constant per component).
         obs = Observation()
-        joined = comp.join(nbr_min, "entity_name", "left").observe(
+        joined = stepped.join(jumpmap, "mid", "left").observe(
             obs,
             F.coalesce(
-                F.sum((F.col("nbr_comp") < F.col("component")).cast("long")),
-                F.lit(0),
+                F.sum((final_col < F.col("old")).cast("long")), F.lit(0)
             ).alias("changed"),
         )
         comp = joined.select(
-            "entity_name",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-            ).alias("component"),
+            "entity_name", final_col.alias("component")
         ).localCheckpoint()
         if obs.get["changed"] == 0:
             break

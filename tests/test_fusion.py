@@ -66,6 +66,30 @@ def test_connected_components_chain(spark):
     assert comp["d"] == comp["e"] == "d"
 
 
+def test_connected_components_deep_chain_pointer_jump(spark):
+    # a 60-hop drift chain (n000-n001-...-n060): plain one-hop hash-min needs
+    # 60 rounds, so converging under max_iter=10 PROVES the stale pointer
+    # jump's exponential label reach (2^k - 1 hops after k rounds). Both id
+    # orientations, since worst-case propagation depends on which end the
+    # min sits relative to the id order.
+    fwd = [(f"n{i + 1:03d}", f"n{i:03d}") for i in range(60)]
+    comp = {
+        r.entity_name: r.component
+        for r in FU.connected_components(
+            spark.createDataFrame(fwd, ["alias", "canonical"]), max_iter=10
+        ).collect()
+    }
+    assert len(comp) == 61 and set(comp.values()) == {"n000"}
+    rev = [(f"m{60 - i:03d}", f"m{60 - i + 1:03d}") for i in range(60)]
+    comp = {
+        r.entity_name: r.component
+        for r in FU.connected_components(
+            spark.createDataFrame(rev, ["alias", "canonical"]), max_iter=10
+        ).collect()
+    }
+    assert len(comp) == 61 and set(comp.values()) == {"m001"}
+
+
 def test_alias_map_prefers_text_member(spark):
     pairs = spark.createDataFrame(
         [('"A (IMAGE)"', '"ZZZ"')], ["alias", "canonical"]
