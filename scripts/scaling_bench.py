@@ -53,7 +53,9 @@ def run_at(cpus: int, sf_dir: str, replicas: int) -> dict:
     )
     out = subprocess.run(
         [sys.executable, "-c", RUNNER], env=env, capture_output=True, text=True,
-        timeout=1800,
+        # 2-core leg at 12M docs measured as slow as 7.2k docs/s in a heavy
+        # host window (~28 min); 1800 s would kill the leg and lose the run
+        timeout=2700,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
