@@ -149,8 +149,12 @@ class MMGraphRAGSpark:
         from mmgraphrag_spark.plans import ParquetCheckpointer, fs_delete
 
         docs, media_bytes = self._read_input(path)
-        if media_bytes is not None and media_bytes.isEmpty():
-            media_bytes = None  # pure-text corpus: no media table, no empty write
+        # NO eager emptiness probe here: isEmpty() on the media table forces
+        # a full unzip/parse pass over every file before the pipeline even
+        # starts (limit(1) only short-circuits when a row EXISTS), just to
+        # learn a text-only corpus has no media. An empty media table flows
+        # through the pipeline's media stages (cheap empty jobs) and lands
+        # as an empty parquet query() handles fine.
         kwargs = {**self._llm_backends(), **self.pipeline_kwargs}
         if "checkpointer" not in kwargs:
             ckpt_dir = os.path.join(self.working_dir, "checkpoint")
@@ -220,25 +224,20 @@ class MMGraphRAGSpark:
     def _query_state(self):
         """VDB / ANN index built once per instance and shared across
         queries (a persisted submit_job --build-ann-index directory under
-        working_dir/ann_index is loaded instead of refit)."""
-        from mmgraphrag_spark.plans import fs_exists
-        from mmgraphrag_spark.query import build_entity_vdb, vdb_as_corpus
+        working_dir/ann_index is loaded instead of refit). The
+        load-or-build decision itself lives in
+        query.load_or_build_query_state (shared with scripts/query_job.py)."""
+        from mmgraphrag_spark.query import load_or_build_query_state
 
-        idx_dir = os.path.join(self.working_dir, "ann_index")
-        if (
-            self.ann_mode == "ivf"
-            and self._ann_index is None
-            and fs_exists(self.spark, os.path.join(idx_dir, "centroids"))
-        ):
-            from mmgraphrag_spark.operators.similarity import load_ivf_index
-
-            self._ann_index = load_ivf_index(self.spark, idx_dir)
-        if self._ann_index is not None:
-            return None, self._ann_index
-        if self._vdb is None:
-            self._vdb = build_entity_vdb(self._kg["entities"]).localCheckpoint()
-        if self.ann_mode == "ivf" and self._ann_index is None:
+        if self._vdb is None and self._ann_index is None:
+            self._vdb, self._ann_index = load_or_build_query_state(
+                self.spark, self._kg["entities"], self.working_dir, self.ann_mode
+            )
+        elif self.ann_mode == "ivf" and self._ann_index is None:
+            # ann_mode flipped to ivf after a non-ivf query on this
+            # instance: fit from the already-built VDB
             from mmgraphrag_spark.operators.similarity import build_ivf_index
+            from mmgraphrag_spark.query import vdb_as_corpus
 
             self._ann_index = build_ivf_index(vdb_as_corpus(self._vdb))
         return self._vdb, self._ann_index

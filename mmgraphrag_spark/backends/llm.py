@@ -472,16 +472,30 @@ class MllmImageExtractor:
         """One image -> the combined wire string (img2graph.py:509-514)."""
         import re as _re
 
+        def _sep(reply: str) -> str:
+            # the record parser splits on '##' / '<|COMPLETE|>' ONLY — a
+            # newline is not a separator. The prompt asks for a trailing
+            # '##' but compliance isn't guaranteed; a reply without it
+            # would merge with the next (deterministic) record and destroy
+            # the ORI_IMG entity, so enforce the separator here.
+            reply = (reply or "").strip()
+            if reply and not (
+                reply.endswith("##") or reply.endswith("<|COMPLETE|>")
+            ):
+                reply += "##"
+            return reply
+
         if self._sem is None:
             self._sem = threading.Semaphore(self.max_concurrency)
         with self._sem:
             result1 = [
-                self._describe_crop(c["name"], c.get("b64")) for c in crops
+                _sep(self._describe_crop(c["name"], c.get("b64"))) for c in crops
             ]
             result2 = self._extract_whole(image_b64)
             listing = format_result(result2)
             result3 = [
-                self._align_crop(c["name"], c.get("b64"), listing) for c in crops
+                _sep(self._align_crop(c["name"], c.get("b64"), listing))
+                for c in crops
             ]
             # deterministic tail (entity_of_original_image)
             ori = (

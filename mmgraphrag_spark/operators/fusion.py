@@ -766,15 +766,22 @@ def cluster_fusion(
                     for k, v in sorted(clusters.items())
                 ]
                 for it in backend.fuse(cl, imgs):
+                    # reference fusion.py:539-544 DROPS items missing either
+                    # source list; enforce that here so a third-party backend
+                    # that skips the filter can't KeyError the whole stage
+                    srcs_img = it.get("source_image_entities") or []
+                    srcs_txt = it.get("source_text_entities") or []
+                    if not srcs_img or not srcs_txt:
+                        continue
                     out["block_id"].append(bid)
                     out["entity_name"].append(str(it.get("entity_name", "")))
                     out["entity_type"].append(str(it.get("entity_type", "")))
                     out["description"].append(str(it.get("description", "")))
                     out["source_image_entities"].append(
-                        [str(x) for x in it["source_image_entities"]]
+                        [str(x) for x in srcs_img]
                     )
                     out["source_text_entities"].append(
-                        [str(x) for x in it["source_text_entities"]]
+                        [str(x) for x in srcs_txt]
                     )
             yield pd.DataFrame(out)
 
@@ -959,31 +966,9 @@ def apply_cluster_fusion(
         .join(pairs.select(F.col("alias").alias("_tgt")), "_tgt", "left_anti")
         .select(F.col("_tgt").alias("old"), F.col("_new").alias("new"))
     )
-    e = (
-        edges_c.join(
-            F.broadcast(rmap.withColumnRenamed("old", "src")), "src", "left"
-        )
-        .withColumnRenamed("new", "_ns")
-        .join(F.broadcast(rmap.withColumnRenamed("old", "tgt")), "tgt", "left")
-        .withColumn("_s2", F.coalesce(F.col("_ns"), F.col("src")))
-        .withColumn("_t2", F.coalesce(F.col("new"), F.col("tgt")))
-        .filter(F.col("_s2") != F.col("_t2"))
-    )
-    edges2 = (
-        e.groupBy(
-            F.least("_s2", "_t2").alias("src"), F.greatest("_s2", "_t2").alias("tgt")
-        )
-        .agg(
-            F.sum("weight").alias("weight"),
-            F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
-                "description"
-            ),
-            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias(
-                "source_ids"
-            ),
-            F.min("order").alias("order"),
-        )
-        .select("src", "tgt", "weight", "description", "source_ids", "order")
+    edges2 = _rewrite_merge_edges(
+        edges_c,
+        rmap.select(F.col("old").alias("alias"), F.col("new").alias("canonical")),
     )
     aliases = (
         pairs.join(
@@ -1163,26 +1148,27 @@ def _resplit_descs(col):
         F.array_distinct(F.flatten(F.collect_list(F.split(col, GRAPH_FIELD_SEP))))
     )
 
-def contract(
-    entities: DataFrame, edges: DataFrame, aliases: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Rewire edges and merge entities through the alias map (J16,
-    fusion.py:936-991). The alias map is tiny relative to the graph ->
-    broadcast both joins; re-merge groupBys are single hash shuffles with
-    partial aggregation.
-    """
-    canon_src = aliases.withColumnRenamed("alias", "src").withColumnRenamed("canonical", "_cs")
-    canon_tgt = (
-        aliases.withColumnRenamed("alias", "tgt").withColumnRenamed("canonical", "_ct")
+def _rewrite_merge_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints through a tiny (alias, canonical) map
+    (broadcast both joins), drop the self-loops merging creates, and
+    re-merge undirected duplicates with the A2 aggregation (weight sum,
+    re-split description union, source_id set union, min order). Shared by
+    contract() and apply_cluster_fusion()'s rename pass — the two must stay
+    semantically identical."""
+    m_src = mapping.withColumnRenamed("alias", "src").withColumnRenamed(
+        "canonical", "_cs"
+    )
+    m_tgt = mapping.withColumnRenamed("alias", "tgt").withColumnRenamed(
+        "canonical", "_ct"
     )
     e = (
-        edges.join(F.broadcast(canon_src), "src", "left")
-        .join(F.broadcast(canon_tgt), "tgt", "left")
+        edges.join(F.broadcast(m_src), "src", "left")
+        .join(F.broadcast(m_tgt), "tgt", "left")
         .withColumn("_s", F.coalesce(F.col("_cs"), F.col("src")))
         .withColumn("_t", F.coalesce(F.col("_ct"), F.col("tgt")))
         .filter(F.col("_s") != F.col("_t"))  # self-loops from merged pairs drop
     )
-    new_edges = (
+    return (
         e.groupBy(
             F.least("_s", "_t").alias("src"), F.greatest("_s", "_t").alias("tgt")
         )
@@ -1191,11 +1177,24 @@ def contract(
             F.concat_ws(GRAPH_FIELD_SEP, _resplit_descs(F.col("description"))).alias(
                 "description"
             ),
-            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias("source_ids"),
+            F.array_distinct(F.flatten(F.collect_list("source_ids"))).alias(
+                "source_ids"
+            ),
             F.min("order").alias("order"),
         )
         .select("src", "tgt", "weight", "description", "source_ids", "order")
     )
+
+
+def contract(
+    entities: DataFrame, edges: DataFrame, aliases: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Rewire edges and merge entities through the alias map (J16,
+    fusion.py:936-991). The alias map is tiny relative to the graph ->
+    broadcast both joins; re-merge groupBys are single hash shuffles with
+    partial aggregation.
+    """
+    new_edges = _rewrite_merge_edges(edges, aliases)
     ent = entities.join(
         F.broadcast(aliases), entities["entity_name"] == aliases["alias"], "left"
     )

@@ -271,9 +271,11 @@ def build_ivf_index(
     Both frames are materialized (localCheckpoint); persist them to parquet
     instead when the corpus outgrows executor storage — the shape is the
     same."""
+    # kmeans_fit already returns a materialized (localCheckpoint'ed) k-row
+    # frame — wrapping it again would cost a second no-op job per build
     centroids = kmeans_fit(
         corpus, k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    )
     inverted = (
         assign_nearest_centroid(corpus, centroids, id_col, vec_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "label")

@@ -73,6 +73,40 @@ def build_entity_vdb(entities: DataFrame, backend=None) -> DataFrame:
     return src.mapInPandas(run, "entity_name string, vec array<double>")
 
 
+def load_or_build_query_state(
+    spark: SparkSession,
+    entities: DataFrame,
+    base_dir: str,
+    ann_mode: str,
+    embed_backend=None,
+) -> tuple[DataFrame | None, tuple | None]:
+    """(vdb, ann_index) for a query service — the ONE home of the
+    load-or-build decision (scripts/query_job.py and api.MMGraphRAGSpark
+    both route through here so the persisted-index layout/commit-marker
+    convention has a single consumer). When ``ann_mode == "ivf"`` and a
+    persisted ``<base_dir>/ann_index`` exists (its ``centroids/`` directory
+    is the commit marker save_ivf_index writes last), load it — no VDB
+    scan, embed, or quantizer refit at query time at all. Otherwise build
+    the VDB once (localCheckpoint'ed for reuse across questions) and, for
+    ivf, fit the index from it."""
+    import os
+
+    from mmgraphrag_spark.plans import fs_exists
+
+    idx_dir = os.path.join(base_dir, "ann_index")
+    if ann_mode == "ivf" and fs_exists(spark, os.path.join(idx_dir, "centroids")):
+        from mmgraphrag_spark.operators.similarity import load_ivf_index
+
+        return None, load_ivf_index(spark, idx_dir)
+    vdb = build_entity_vdb(entities, backend=embed_backend).localCheckpoint()
+    ann_index = None
+    if ann_mode == "ivf":
+        from mmgraphrag_spark.operators.similarity import build_ivf_index
+
+        ann_index = build_ivf_index(vdb_as_corpus(vdb))
+    return vdb, ann_index
+
+
 def vdb_as_corpus(vdb: DataFrame) -> DataFrame:
     """Project the entity VDB into the (vec_id, embedding) corpus shape the
     operators/similarity functions consume — the single home of that schema

@@ -345,16 +345,22 @@ def _pdf_stream(body: bytes, objs: dict | None = None):
         return None
     head, start = body[: sm.start()], sm.end()
     data = None
+    length = None
     lm = re.search(rb"/Length\s+(\d+)\s+0\s+R", head)
     if lm and objs is not None:
         ref_body = objs.get(int(lm.group(1)), b"")
         nm = re.search(rb"(\d+)", ref_body)
         if nm:
-            data = body[start : start + int(nm.group(1))]
+            length = int(nm.group(1))
     elif not lm:
         lm2 = re.search(rb"/Length\s+(\d+)", head)
         if lm2:
-            data = body[start : start + int(lm2.group(1))]
+            length = int(lm2.group(1))
+    # trust /Length only when the slice lands just before an endstream
+    # marker — a wrong length (in-place-edited PDF) would otherwise
+    # silently truncate or over-read; fall back to the lazy scan instead
+    if length is not None and re.match(rb"\s*endstream", body[start + length :]):
+        data = body[start : start + length]
     if data is None:
         m = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.DOTALL)
         if m is None:
@@ -485,7 +491,23 @@ def _page_fonts(objs: dict, page_body: bytes, tree_body: bytes = b""):
         if rm:
             return objs.get(int(rm.group(1)), b"")
         rm = re.search(rb"/Resources\s*<<", body)
-        return body[rm.end() - 2:] if rm else None
+        if not rm:
+            return None
+        # balanced <<...>> slice of JUST the resources dict — an open-ended
+        # slice would let the later /Font lookup bind a same-named key
+        # elsewhere in the page dict (wrong font -> wrong ToUnicode CMap)
+        start, depth, i = rm.end() - 2, 0, rm.end() - 2
+        while i < len(body) - 1:
+            pair = body[i : i + 2]
+            if pair == b"<<":
+                depth, i = depth + 1, i + 2
+            elif pair == b">>":
+                depth, i = depth - 1, i + 2
+                if depth == 0:
+                    return body[start:i]
+            else:
+                i += 1
+        return body[start:]
 
     rsrc = _resources(page_body)
     if rsrc is None and tree_body:

@@ -103,26 +103,11 @@ def main() -> None:
     # submit_job --build-ann-index directory, loaded — no refit at query
     # time at all) ONCE and shared across every question in the list,
     # instead of per local_query call
-    from mmgraphrag_spark.backends.embeddings import HashEmbedBackend
-    from mmgraphrag_spark.query import build_entity_vdb, vdb_as_corpus
+    from mmgraphrag_spark.query import load_or_build_query_state
 
-    ann_index = None
-    vdb = None
-    idx_dir = os.path.join(args.kg, "ann_index")
-    if args.ann_mode == "ivf" and fs_exists(
-        spark, os.path.join(idx_dir, "centroids")
-    ):
-        from mmgraphrag_spark.operators.similarity import load_ivf_index
-
-        ann_index = load_ivf_index(spark, idx_dir)
-    else:
-        vdb = build_entity_vdb(
-            kg["entities"], backend=HashEmbedBackend()
-        ).localCheckpoint()
-        if args.ann_mode == "ivf":
-            from mmgraphrag_spark.operators.similarity import build_ivf_index
-
-            ann_index = build_ivf_index(vdb_as_corpus(vdb))
+    vdb, ann_index = load_or_build_query_state(
+        spark, kg["entities"], args.kg, args.ann_mode
+    )
     for question in questions:
         out = local_query(
             spark,

@@ -611,3 +611,55 @@ def test_dbscan_eps_reference_semantics():
 
     for i, j in itertools.combinations(range(len(emb)), 2):
         assert (labels[i] == labels[j]) == (sk[i] == sk[j])
+
+
+def test_cluster_fusion_drops_items_missing_source_lists(spark):
+    """The operator itself enforces the reference's drop rule
+    (fusion.py:539-544): a backend item missing either source list — absent
+    key OR empty list — is skipped, never a worker KeyError (the backend is
+    a documented third-party seam; LLMClusterFuser filters these but the
+    operator cannot rely on that)."""
+    from mmgraphrag_spark.operators import fusion as FU
+
+    clustered = spark.createDataFrame(
+        [
+            ("b1", '"IMG_A"', "img", 0),
+            ("b1", '"ALPHA"', "text", 0),
+        ],
+        ["block_id", "entity_name", "kind", "label"],
+    )
+    entities = spark.createDataFrame(
+        [
+            ('"IMG_A"', '"IMG_ENTITY"', "img desc", ["m1"]),
+            ('"ALPHA"', '"PERSON"', "alpha desc", ["c1"]),
+        ],
+        ["entity_name", "entity_type", "description", "source_ids"],
+    )
+
+    class SloppyFuser:
+        def fuse(self, clusters, image_entities):
+            return [
+                {  # missing source_image_entities key entirely
+                    "entity_name": "No Img",
+                    "entity_type": '"X"',
+                    "description": "d",
+                    "source_text_entities": ['"ALPHA"'],
+                },
+                {  # empty text-source list
+                    "entity_name": "No Txt",
+                    "entity_type": '"X"',
+                    "description": "d",
+                    "source_image_entities": ['"IMG_A"'],
+                    "source_text_entities": [],
+                },
+                {  # valid
+                    "entity_name": "Kept",
+                    "entity_type": '"PERSON"',
+                    "description": "merged",
+                    "source_image_entities": ['"IMG_A"'],
+                    "source_text_entities": ['"ALPHA"'],
+                },
+            ]
+
+    recs = FU.cluster_fusion(clustered, entities, SloppyFuser()).collect()
+    assert [r.entity_name for r in recs] == ["Kept"]

@@ -394,3 +394,44 @@ def test_pdf_page_text_linear_on_unterminated_array():
     assert time.monotonic() - t0 < 1.0
     # a well-formed tail after a malformed array is still reached
     assert "after" in _pdf_page_text(content + b"\n(after) Tj")
+
+
+def test_pdf_stream_length_mismatch_falls_back():
+    """A direct /Length is trusted only when its slice lands just before an
+    endstream marker; a wrong length (in-place-edited PDF) falls back to
+    the lazy endstream scan instead of silently truncating/over-reading."""
+    from mmgraphrag_spark.sources.ingest import _pdf_stream
+
+    content = b"BT (some long page text that length 10 would cut) Tj ET"
+    short = b"<< /Length 10 >> stream\n" + content + b"\nendstream"
+    assert _pdf_stream(short) == content
+    exact = (b"<< /Length %d >> stream\n" % len(content)) + content + b"\nendstream"
+    assert _pdf_stream(exact) == content
+    long = b"<< /Length 999 >> stream\n" + content + b"\nendstream\n9 0 obj"
+    assert _pdf_stream(long) == content
+
+
+def test_page_fonts_resources_dict_bounded():
+    """An inline /Resources dict is sliced with balanced <<>> matching: a
+    /Font key elsewhere in the page dict (outside /Resources) must NOT be
+    consulted, and a /Font nested inside /Resources still resolves."""
+    from mmgraphrag_spark.sources.ingest import _page_fonts
+
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<58> <0021>\nendbfchar\nendcmap\n"
+    )
+    objs = {
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Good /ToUnicode 6 0 R >>",
+        6: (b"<< /Length %d >> stream\n" % len(cmap)) + cmap + b"\nendstream",
+        8: b"<< /Decoy /Font << /F1 5 0 R >> >>",
+    }
+    # page-level /Font OUTSIDE the (empty-ish) resources dict: must be ignored
+    page = b"<< /Resources << /ProcSet [/PDF] >> /Annots [1 0 R] /Font 8 0 R >>"
+    assert _page_fonts(objs, page) == {}
+    # /Font nested inside /Resources still resolves through its ToUnicode
+    page2 = b"<< /Resources << /Font << /F1 5 0 R >> >> /Font 8 0 R >>"
+    fonts = _page_fonts(objs, page2)
+    assert set(fonts) == {"F1"}
+    cm, width = fonts["F1"]
+    assert width == 1 and cm[0x58] == "!"

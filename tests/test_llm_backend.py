@@ -375,3 +375,30 @@ def test_extract_image_mentions_dedups_occurrences(spark):
     out = extract_image_mentions(media, CountingBackend(), objects=objects).collect()
     assert len(out) == 1  # one backend row per IMAGE, not per occurrence
     assert out[0].records == "ncrops=2"  # each crop once, not once per occurrence
+
+
+def test_extract_image_enforces_record_separator():
+    """A raw L6 alignment reply WITHOUT the trailing '##' the prompt asks
+    for must not merge with the next (deterministic ORI_IMG) record — the
+    record parser splits on '##' only, so the separator is enforced on
+    every raw reply (newlines are not separators)."""
+    from mmgraphrag_spark.backends.llm import (
+        ChatClient,
+        MllmImageExtractor,
+        ScriptedTransport,
+    )
+
+    align_no_sep = (
+        '("relationship"<|>"Girl"<|>"img0_person-0.jpg"'
+        '<|>"picture of Girl."<|>8)'  # no trailing ##
+    )
+    extraction = '("entity"<|>"Girl"<|>"person"<|>"smiling")##'
+    t = ScriptedTransport(["a person", extraction, align_no_sep])
+    ex = MllmImageExtractor(ChatClient("http://fake", transport=t))
+    wire = ex.extract_image(
+        "img0.jpg", "a scene", None, [{"name": "img0_person-0.jpg", "b64": None}]
+    )
+    assert align_no_sep + "##" in wire
+    # the ORI_IMG record survives as its own record: split on '##' yields it
+    recs = [r.strip() for r in wire.replace("<|COMPLETE|>", "##").split("##")]
+    assert '("entity"<|>"img0.jpg"<|>"ori_img"<|>"a scene")' in recs
