@@ -104,7 +104,11 @@ def main() -> None:
         "ann_topk", "lsh_ann_topk", "ivf_topk", "embedding_near_dups",
         "embedding_near_dups_lsh", "centroid_dims",
         "a1_entity_merge", "a2_edge_merge", "a10_token_budget", "w4_ranking",
-        "media_features",
+        "media_features", "w7_mm_limit", "p8_cache_hits",
+        # NOT j13_media_rewrite: it reads the memoized _kg() pipeline run, so
+        # its first-call timing is ~entirely a duplicate of the kg_pipeline
+        # headline (measured 14.2 s vs <1 s for the join itself); its
+        # correctness is covered by the driver's CORRECTNESS oracle row
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
