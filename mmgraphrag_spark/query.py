@@ -345,13 +345,20 @@ def related_edges(
     """W5 + A10 (query.py:157-209): all seed edges ranked by (edge degree,
     weight) desc, token-truncated."""
     deg = degrees if degrees is not None else node_degrees(edges)
-    s = F.broadcast(seeds.select("entity_name"))
+    # "edge touches any seed" as TWO broadcast hash left-joins + an OR filter
+    # instead of a disjunctive left-semi: the (src==s)|(tgt==s) condition has
+    # no equi-part, so Spark can only plan it as a BroadcastNestedLoopJoin —
+    # O(|edges| * k) comparisons. Hash probes are O(|edges|). The seed
+    # projection is deduped so the left-joins reproduce left-semi
+    # multiplicity exactly.
+    sd = seeds.select("entity_name").dropDuplicates(["entity_name"])
+    ms = F.broadcast(sd.select(F.col("entity_name").alias("src"), F.lit(True).alias("_ms")))
+    mt = F.broadcast(sd.select(F.col("entity_name").alias("tgt"), F.lit(True).alias("_mt")))
     seed_edges = (
-        edges.join(
-            s,
-            (edges.src == s.entity_name) | (edges.tgt == s.entity_name),
-            "left_semi",
-        )
+        edges.join(ms, "src", "left")
+        .join(mt, "tgt", "left")
+        .filter(F.col("_ms").isNotNull() | F.col("_mt").isNotNull())
+        .drop("_ms", "_mt")
         .join(deg.withColumnRenamed("entity_name", "src").withColumnRenamed("degree", "dsrc"), "src")
         .join(deg.withColumnRenamed("entity_name", "tgt").withColumnRenamed("degree", "dtgt"), "tgt")
         .withColumn("edge_rank", F.col("dsrc") + F.col("dtgt"))
