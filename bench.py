@@ -86,6 +86,26 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    def host_probe_mrows() -> float:
+        """~5 s md5 scan-agg capacity probe (pure JVM, zero shuffle/IO): the
+        host's absolute throughput in Mrows/s at this cpu count. BENCH.md
+        documents run-to-run bandwidth contention of up to 2-5x on this VM —
+        this number lets a reader normalize one bench line against another
+        taken in a different window (same probe as scaling_bench legs)."""
+        from pyspark.sql import functions as F
+
+        rows = 20_000_000
+        job = lambda: (
+            spark.range(0, rows, 1, numPartitions=cpus * 3)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.max("h"))
+            .collect()
+        )
+        job()  # JIT warm
+        t0 = time.monotonic()
+        job()
+        return round(rows / (time.monotonic() - t0) / 1e6, 2)
+
     timings: dict[str, float] = {}
 
     # warmup at the smallest available sf: spawn+import python workers and
@@ -93,6 +113,8 @@ def main() -> None:
     # throughput, not JVM/interpreter cold start (scaling_bench warms too)
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     run_kg_pipeline(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir, 1)
+
+    probe_pre = host_probe_mrows()
 
     kg = run_kg_pipeline(spark, sf_dir, replicas)
     timings["kg_pipeline"] = round(kg["seconds"], 3)
@@ -130,6 +152,12 @@ def main() -> None:
         "kg_n_triples": kg["n_triples"],
         "kg_docs_per_sec": round(kg["n_docs"] / kg["seconds"], 2),
         "kg_triples_per_sec": round(kg["n_triples"] / kg["seconds"], 2),
+        # host-capacity probes bracketing the run (md5 Mrows/s at this cpu
+        # count; quiet-window reference ~16-17 at 8 cores, observed as low as
+        # 4 under cross-VM bandwidth contention — see BENCH.md): compare
+        # bench lines across windows via value/probe, not raw seconds
+        "host_probe_mrows_pre": probe_pre,
+        "host_probe_mrows_post": host_probe_mrows(),
     }
     print(json.dumps(result))
     spark.stop()
