@@ -101,6 +101,31 @@ def test_ann_entities_plan_is_distributed_topk(spark, pipeline_out):
     assert all(rows[i].sim >= rows[i + 1].sim for i in range(4))
 
 
+def test_related_edges_plans_hash_joins_only(spark, pipeline_out):
+    """The seed-touch filter must plan as broadcast HASH joins: the naive
+    disjunctive (src==s)|(tgt==s) semi-join has no equi-part and degrades to
+    a BroadcastNestedLoopJoin — O(|edges| * k) comparisons per query.
+    Semantics pinned against the disjunctive reference computed inline."""
+    import pyspark.sql.functions as F
+
+    edges = pipeline_out["edges"]
+    seeds = (
+        pipeline_out["entities"].select("entity_name").orderBy("entity_name").limit(3)
+    )
+    out = Q.related_edges(seeds, edges, budget_tokens=10**9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    got = {(r.src, r.tgt) for r in out.collect()}
+    s = {r.entity_name for r in seeds.collect()}
+    want = {
+        (r.src, r.tgt)
+        for r in edges.collect()
+        if r.src in s or r.tgt in s
+    }
+    assert got == want
+
+
 def test_ann_modes_agree_on_planted_target(spark):
     """ann_mode wiring: a scripted embedding backend plants one entity whose
     vector matches the question exactly — all three modes must rank it #1,
