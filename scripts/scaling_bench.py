@@ -54,8 +54,10 @@ def run_at(cpus: int, sf_dir: str, replicas: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER], env=env, capture_output=True, text=True,
         # 2-core leg at 12M docs measured as slow as 7.2k docs/s in a heavy
-        # host window (~28 min); 1800 s would kill the leg and lose the run
-        timeout=2700,
+        # host window (~28 min), and the 1-core leg at 18M docs projects to
+        # ~31 min plus up to +40% host noise; anything tighter risks killing
+        # a leg late in the run and losing the whole A/B/A/B sample
+        timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
