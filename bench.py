@@ -87,11 +87,15 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     def host_probe_mrows() -> float:
-        """~5 s md5 scan-agg capacity probe (pure JVM, zero shuffle/IO): the
+        """md5 scan-agg capacity probe (pure JVM, zero shuffle/IO): the
         host's absolute throughput in Mrows/s at this cpu count. BENCH.md
         documents run-to-run bandwidth contention of up to 2-5x on this VM —
         this number lets a reader normalize one bench line against another
-        taken in a different window (same probe as scaling_bench legs)."""
+        taken in a different window. Same whole-stage-codegen expression and
+        cpus*3 partition layout as host_ceiling_control.RUNNER, but run
+        in-session (scaling_bench's probes go through run_at, which spawns a
+        subprocess + fresh SparkSession, so their ~15 s wall clock includes
+        startup; the measured job itself is ~1-6 s depending on window)."""
         from pyspark.sql import functions as F
 
         rows = 20_000_000
