@@ -21,6 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mmgraphrag_spark.operators.textstats import (
+    PII_EMAIL as _PII_EMAIL,
+    PII_IP as _PII_IP,
+    PII_PHONE as _PII_PHONE,
+)
 from mmgraphrag_spark.query import one_partition_key as _one_part
 
 # ---------------------------------------------------------------------------
@@ -778,6 +783,100 @@ def _q_p8_cache_hits(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition features. Duplicate lines are planted
+    deterministically (the synthetic corpus is single-line), so the oracle
+    asserts real nonzero fractions on every third doc."""
+    from mmgraphrag_spark.operators.textstats import repetition_features
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("\nrepeated line alpha\nrepeated line alpha\nunique tail "),
+                    F.col("doc_id") % 11,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = repetition_features(flat, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction. Emails/IPs/phones are planted deterministically on every
+    fourth doc (the synthetic corpus has none), so counts and the scrubbed
+    text are both asserted against the SQL oracle."""
+    from mmgraphrag_spark.operators.textstats import pii_scrub
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact agent"),
+                    F.col("doc_id") % 7,
+                    F.lit("@mail.example.net from 10.20."),
+                    F.col("doc_id") % 250,
+                    F.lit(".9 or call +44 5550 "),
+                    F.lit(1000) + F.col("doc_id") % 9000,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(flat, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        "clean_text",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_ips").cast("bigint").alias("n_ips"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+    )
+
+
+def _q_assign_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment (seed-stable,
+    partition-layout-independent — the reproducibility property df.sample
+    lacks)."""
+    from mmgraphrag_spark.operators.sampling import assign_split
+
+    return assign_split(_flat(spark, sf_dir), "doc_id", seed="split").select(
+        F.col("id").cast("bigint").alias("id"), "bucket", "split"
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling: 'en' docs kept at 64/256,
+    'fr' kept fully, 'de' at the 13/256 default, 'zh' at 0 — the volume-
+    rebalancing pass a multilingual pretraining pipeline runs."""
+    from mmgraphrag_spark.operators.sampling import stratified_sample
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, "en")
+        .when(F.col("doc_id") % 4 == 1, "fr")
+        .when(F.col("doc_id") % 4 == 2, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    out = stratified_sample(
+        flat, "doc_id", "lang", {"en": 64, "fr": 256, "zh": 0},
+        default_rate_per_256=13, seed="stratified",
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("id"), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_sequence": _q_spans_sequence,
@@ -823,6 +922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "w7_mm_limit": _q_w7_mm_limit,
         "p8_cache_hits": _q_p8_cache_hits,
+        "repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "assign_split": _q_assign_split,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1732,6 +1835,136 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_quick FROM g WHERE gap <= 60.0 GROUP BY 1
+"""
+
+    # same planted duplicate lines and the same closed-form math as
+    # operators.textstats.repetition_features (prefix-tagged units, argmax
+    # 2-gram by (count, gram)); grams come from the positional token
+    # self-join because RE2 has no lookahead — proven set-identical to the
+    # Spark regex in tests
+    sql["repetition"] = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'repeated line alpha' ||
+                           chr(10) || 'repeated line alpha' ||
+                           chr(10) || 'unique tail ' || (doc_id % 11)
+                      ELSE '' END AS text
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                        ' +', ' ', 'g') AS norm
+  FROM t
+),
+lu AS (SELECT doc_id, 'l' || unnest(lines) AS u FROM b),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tk,
+         generate_subscripts(string_split(norm, ' '), 1) AS o
+  FROM b
+),
+gu AS (
+  SELECT a.doc_id, 'g' || a.tk || ' ' || c.tk AS u
+  FROM tok a JOIN tok c ON a.doc_id = c.doc_id AND c.o = a.o + 1
+),
+units AS (SELECT * FROM lu UNION ALL SELECT * FROM gu),
+per AS (SELECT doc_id, u, count(*) AS cnt FROM units GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN substr(u, 1, 1) = 'l' THEN cnt ELSE 0 END) AS n_lines,
+         sum(CASE WHEN substr(u, 1, 1) = 'l' THEN 1 ELSE 0 END) AS n_distinct,
+         sum(CASE WHEN substr(u, 1, 1) = 'l' AND cnt > 1
+                  THEN cnt * (len(u) - 1) ELSE 0 END) AS dup_chars,
+         sum(CASE WHEN substr(u, 1, 1) = 'l'
+                  THEN cnt * (len(u) - 1) ELSE 0 END) AS tot_chars
+  FROM per GROUP BY 1
+),
+topg AS (
+  SELECT doc_id, cnt * (len(u) - 1) AS topchars
+  FROM per WHERE substr(u, 1, 1) = 'g'
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, u DESC) = 1
+)
+SELECT b.doc_id AS id,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       round(CASE WHEN COALESCE(a.n_lines, 0) > 0
+                  THEN 1 - a.n_distinct / CAST(a.n_lines AS DOUBLE)
+                  ELSE 0 END, 4) AS dup_line_frac,
+       round(COALESCE(a.dup_chars, 0) / greatest(CAST(COALESCE(a.tot_chars, 0) AS DOUBLE), 1),
+             4) AS dup_line_char_frac,
+       round(COALESCE(g.topchars / greatest(CAST(len(b.norm) AS DOUBLE), 1), 0),
+             4) AS top_bigram_char_frac
+FROM b
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN topg g USING (doc_id)
+"""
+
+    # the identical RE2-compatible patterns as textstats.PII_EMAIL/IP/PHONE,
+    # counted on the text AS OF each scrub stage (emails -> IPs -> phones)
+    sql["pii_scrub"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' contact agent' || (doc_id % 7) ||
+                           '@mail.example.net from 10.20.' || (doc_id % 250) ||
+                           '.9 or call +44 5550 ' || (1000 + doc_id % 9000)
+                      ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM t
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ips,
+         regexp_replace(t1, '{_PII_IP}', '[IP]', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phones,
+         regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id AS id, t3 AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones
+FROM s3
+"""
+
+    # md5 hex-prefix buckets compared lexicographically against fixed-width
+    # hex literals — train=205/256 -> 'cd', val=230/256 -> 'e6' (the same
+    # _hex2 math as operators.sampling.assign_split)
+    sql["assign_split"] = """
+WITH b AS (
+  SELECT doc_id, substr(md5('split:' || doc_id), 1, 2) AS bucket FROM documents
+)
+SELECT doc_id AS id, bucket,
+       CASE WHEN bucket < 'cd' THEN 'train'
+            WHEN bucket < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+    # per-stratum keep thresholds: en 64 -> '40', fr 256 -> keep all,
+    # zh 0 -> '00' (drop all), default (de) 13 -> '0d'
+    sql["stratified_sample"] = """
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+              WHEN 2 THEN 'de' ELSE 'zh' END AS lang,
+         substr(md5('stratified:' || doc_id), 1, 2) AS b
+  FROM documents
+)
+SELECT doc_id AS id, lang FROM t
+WHERE b < CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN 'zz'
+               WHEN 'zh' THEN '00' ELSE '0d' END
 """
 
     return sql

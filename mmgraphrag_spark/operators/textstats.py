@@ -111,6 +111,124 @@ def fingerprint(
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_char_frac):
+    Gopher/MassiveText-style repetition signals for pretraining-data filters.
+
+    Definitions (mirrored exactly by the DuckDB oracle):
+      - lines: '\\n'-split, trimmed, empties dropped.
+      - dup_line_frac       = 1 - distinct_lines / n_lines.
+      - dup_line_char_frac  = chars in lines occurring >1 time (ALL their
+                              occurrences) / total line chars.
+      - top_bigram_char_frac = occurrences(top word-2gram) * len(top 2gram)
+                              / len(normalized text); the top 2-gram is the
+                              max by (count, gram) so ties are deterministic.
+        Word 2-grams are OVERLAPPING and non-distinct, over word_tokens'
+        normalization.
+
+    Scale shape: ONE explicit repartition by id, then one explode of
+    kind-prefixed units ('l' + line / 'g' + 2gram) -> groupBy(id, unit) ->
+    groupBy(id) — both aggregations' required distributions are satisfied by
+    the id partitioning, so the whole operator plans exactly one Exchange
+    and zero joins (asserted in test_textstats). explode_outer keeps docs
+    with no nonempty line and <2 tokens (they get 0.0 fractions). Keys are
+    per-document — near-uniform; partial aggregation shrinks the explode
+    output before anything wide. A pathological single doc with millions of
+    lines lands in one partition, inherent to per-document statistics."""
+    idc = F.col(id_col)
+    t = F.col(text_col)
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    # overlapping word 2-grams via one regex pass (CLAUDE.md rule 4: no
+    # per-index interpreted array slices); norm matches word_tokens' cleanup
+    cleaned = F.trim(F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", " "))
+    norm = F.regexp_replace(cleaned, r" +", " ")
+    grams = F.regexp_extract_all(norm, F.lit(r"\b(?=([a-z0-9]+ [a-z0-9]+))"), 1)
+    units = F.concat(
+        F.transform(lines, lambda x: F.concat(F.lit("l"), x)),
+        F.transform(grams, lambda g: F.concat(F.lit("g"), g)),
+    )
+
+    base = df.repartition(npart, idc).select(
+        idc.alias("id"),
+        F.length(norm).alias("n_chars_norm"),
+        F.explode_outer(units).alias("u"),
+    )
+    kind = F.substring(F.col("u"), 1, 1)
+    ulen = F.length(F.col("u")) - 1  # content length without the kind prefix
+    is_l = kind == "l"
+    per_unit = base.groupBy("id", "u").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n_chars_norm").alias("ncn")
+    )
+    cnt = F.col("cnt")
+    per_doc = per_unit.groupBy("id").agg(
+        F.sum(F.when(is_l, cnt).otherwise(0)).alias("n_lines"),
+        F.sum(F.when(is_l, F.lit(1)).otherwise(0)).alias("n_distinct_lines"),
+        F.sum(F.when(is_l & (cnt > 1), cnt * ulen).otherwise(0)).alias("dup_chars"),
+        F.sum(F.when(is_l, cnt * ulen).otherwise(0)).alias("tot_chars"),
+        # argmax 2-gram by (count, gram): max over a struct; nulls (lines,
+        # empty docs) are ignored by max
+        F.max(F.when(kind == "g", F.struct(cnt, F.col("u")))).alias("top"),
+        F.first("ncn").alias("ncn"),
+    )
+    top_frac = (
+        F.col("top").getField("cnt")
+        * (F.length(F.col("top").getField("u")) - 1)
+        / F.greatest(F.col("ncn"), F.lit(1))
+    )
+    return per_doc.select(
+        "id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.round(
+            F.when(
+                F.col("n_lines") > 0,
+                1 - F.col("n_distinct_lines") / F.col("n_lines"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(F.col("dup_chars") / F.greatest(F.col("tot_chars"), F.lit(1)), 4).alias(
+            "dup_line_char_frac"
+        ),
+        F.round(F.coalesce(top_frac, F.lit(0.0)), 4).alias("top_bigram_char_frac"),
+    )
+
+
+# PII patterns: RE2-compatible (no lookaround/backrefs) so the DuckDB oracle
+# runs the IDENTICAL strings; Java and RE2 agree on these constructs
+# (greedy quantifiers without backrefs match identically). Keep in sync with
+# __spark_entry__.oracle_sql()["pii_scrub"].
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_text, n_emails, n_ips, n_phones): redact emails -> [EMAIL],
+    IPv4s -> [IP], phone-ish digit runs -> [PHONE], counting each on the text
+    AS OF its scrub stage (emails first, so a count never double-reports the
+    digits inside an already-redacted token). Pure JVM regexp expressions:
+    WholeStageCodegen, zero shuffles, zero UDFs — the shape a 100 TB scrub
+    pass needs (one scan, one write)."""
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP), 0))
+    t2 = F.regexp_replace(t1, PII_IP, "[IP]")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0))
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        t3.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
 def link_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_urls, n_emails, url_char_ratio): link/contact density features —
     standard training-data quality signals (boilerplate and spam pages are

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mmgraphrag_spark.operators import textstats as TS
 
 
@@ -52,6 +54,96 @@ def test_fingerprint_stability(spark):
     got = {r.id: r.fingerprint for r in TS.fingerprint(df, "doc_id", "text").collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_repetition_features(spark):
+    rows = [
+        # 4 lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25; chars in
+        # repeated lines = 2*7 of 7+8+7+8=30 -> 0.4667
+        (1, "dup dup\nuniq one\ndup dup\nuniq two"),
+        (2, "all lines differ\nhere too\nand here"),
+        (3, ""),  # no lines, no grams -> all zeros
+        # "go go go go": bigram "go go" occurs 3x (overlapping), 5 chars each,
+        # norm len 11 -> 15/11 (uncapped by design: overlapping occurrences)
+        (4, "go go go go"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in TS.repetition_features(df, "doc_id", "text").collect()}
+    assert got[1].n_lines == 4 and got[1].dup_line_frac == 0.25
+    assert got[1].dup_line_char_frac == round(14 / 30, 4)
+    assert got[2].dup_line_frac == 0.0 and got[2].dup_line_char_frac == 0.0
+    assert got[3].n_lines == 0 and got[3].top_bigram_char_frac == 0.0
+    assert got[4].top_bigram_char_frac == round(15 / 11, 4)
+
+
+def test_repetition_single_exchange_plan(spark):
+    """The whole repetition plan hangs off ONE explicit repartition by id:
+    groupBy(id, unit) and groupBy(id) both have their required distribution
+    satisfied by it, so there is exactly one Exchange and zero joins (the
+    scale invariant the docstring promises)."""
+    df = spark.createDataFrame([(1, "a b\nc d")], ["doc_id", "text"])
+    plan = (
+        TS.repetition_features(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail bob@example.com or call +1 555 123 4567 from 10.0.0.1 ok"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from mmgraphrag_spark.operators.textstats import pii_scrub
+
+    got = {r.id: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    r = got[1]
+    assert r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1
+    assert "[EMAIL]" in r.clean_text and "[IP]" in r.clean_text and "[PHONE]" in r.clean_text
+    assert "bob@" not in r.clean_text and "10.0.0.1" not in r.clean_text
+    assert "555" not in r.clean_text
+    assert got[2].clean_text == "nothing sensitive here"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
+
+
+def test_assign_split_deterministic_and_balanced(spark):
+    from mmgraphrag_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, "doc_id", seed="s1")
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    # 80/10/10 within a loose tolerance at n=2000
+    assert 0.74 < counts["train"] / 2000 < 0.86
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    assert 0.06 < counts["test"] / 2000 < 0.14
+    # stable under repartitioning (the whole point vs df.sample)
+    again = assign_split(df.repartition(7), "doc_id", seed="s1")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # a different seed reassigns
+    other = assign_split(df, "doc_id", seed="s2")
+    assert out.exceptAll(other).count() > 0
+
+
+def test_stratified_sample_rates(spark):
+    from mmgraphrag_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = stratified_sample(
+        df, "doc_id", "lang", {"en": 26, "fr": 256}, default_rate_per_256=0
+    )
+    got = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got["fr"] == 2000  # keep-all stratum is exact
+    assert 0.05 < got["en"] / 1000 < 0.16  # ~10%
+    # default rate drops unknown strata entirely
+    df2 = df.withColumn("lang", F.lit("de"))
+    assert stratified_sample(df2, "doc_id", "lang", {"en": 26}).count() == 0
 
 
 def test_link_stats(spark):
