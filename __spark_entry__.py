@@ -783,6 +783,39 @@ def _q_p8_cache_hits(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 97th doc plays the eval set; training
+    docs sharing >=3 distinct word 5-grams with it are flagged. The grammar
+    skeleton ('is a ... associated with topic_...') produces genuine partial
+    overlaps beyond the exact self-matches."""
+    from mmgraphrag_spark.operators.dedup import decontaminate
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(
+                    " the famous benchmark question asks what the quick fox"
+                    " does at dawn"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = flat.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    out = decontaminate(
+        flat, "doc_id", "text", bench, "bid", "text", shingle_len=5, min_overlap=3
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("bench_id").cast("bigint").alias("bench_id"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style repetition features. Duplicate lines are planted
     deterministically (the synthetic corpus is single-line), so the oracle
@@ -923,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_mm_limit": _q_w7_mm_limit,
         "p8_cache_hits": _q_p8_cache_hits,
         "repetition": _q_repetition,
+        "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "assign_split": _q_assign_split,
         "stratified_sample": _q_stratified_sample,
@@ -1899,6 +1933,37 @@ SELECT b.doc_id AS id,
 FROM b
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN topg g USING (doc_id)
+"""
+
+    # same distinct word 5-grams as the fingerprint oracle (positional token
+    # self-join; <5-token docs fall back to the whole normalized text), every
+    # 97th doc as the benchmark side, count >= 3 distinct shared shingles
+    sql["decontaminate"] = f"""
+WITH d0 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 0
+                      THEN ' the famous benchmark question asks what the quick fox does at dawn'
+                      ELSE '' END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, {_TOKS} AS w FROM d0),
+tok AS (SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS o, len(w) AS n FROM t),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk || ' ' || d.tk || ' ' || e.tk AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.o = a.o + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.o = a.o + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.o = a.o + 4
+  WHERE a.n >= 5
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM t WHERE len(w) < 5
+),
+bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0)
+SELECT d.doc_id AS id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh d JOIN bsh b USING (s)
+GROUP BY 1, 2
+HAVING count(*) >= 3
 """
 
     # the identical RE2-compatible patterns as textstats.PII_EMAIL/IP/PHONE,

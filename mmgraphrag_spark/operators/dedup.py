@@ -359,3 +359,45 @@ def embedding_near_dups_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    shingle_len: int = 5,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, bench_id, n_shared): training docs sharing >= min_overlap DISTINCT
+    word n-grams with a benchmark/eval document — the decontamination pass a
+    pretraining pipeline runs so test sets don't leak into training data
+    (the n-gram-overlap rule of GPT-3 appx C / PaLM / Llama reports).
+
+    Scale shape: explode distinct shingles on both sides and equi-join on the
+    shingle string. The benchmark side is tiny relative to a 100 TB corpus,
+    so it broadcasts by default (one map-side hash join, zero shuffles of the
+    big side; set broadcast_benchmark=False to fall back to a shuffle join
+    when the eval suite itself is huge). groupBy (id, bench_id) counts
+    distinct shared shingles with map-side partial aggregation; shingle
+    explosion is bounded by document length, and word_shingles is the shared
+    single-pass regex (no per-index array slicing)."""
+    d_sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_len)).alias("shingle"),
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), shingle_len)).alias("shingle"),
+    )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    return (
+        d_sh.join(b_sh, "shingle")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

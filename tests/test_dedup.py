@@ -124,3 +124,50 @@ def test_near_dup_groups_transitive(spark):
     assert out[7] == (7, False) and out[9] == (7, True)
     assert out[5] == (5, False)  # untouched row keeps itself
     assert len(out) == 10
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A training doc that copies a benchmark phrase is flagged with the
+    distinct-5-gram overlap count; unrelated docs are not; the benchmark doc
+    joined to itself (when present in training data) shares ALL its shingles."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every day")],
+        ["bid", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim copy -> all 7 5-grams shared (11 tokens)
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            # partial copy: shares exactly the 2 5-grams inside the copied span
+            (2, "we saw the quick brown fox jumps over a fence"),
+            (3, "completely unrelated text about spark plans and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id, r.bench_id): r.n_shared
+        for r in D.decontaminate(
+            docs, "doc_id", "text", bench, "bid", "text", shingle_len=5, min_overlap=1
+        ).collect()
+    }
+    assert out[(1, 100)] == 7  # 11 tokens -> 7 overlapping 5-grams
+    assert out[(2, 100)] == 2  # "the quick brown fox jumps", "quick brown fox jumps over"
+    assert (3, 100) not in out
+    # min_overlap prunes the partial match
+    out3 = D.decontaminate(
+        docs, "doc_id", "text", bench, "bid", "text", shingle_len=5, min_overlap=3
+    )
+    assert {r.id for r in out3.collect()} == {1}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Default mode must plan the benchmark side as a broadcast hash join (the
+    big training side never shuffles); the fallback must not broadcast."""
+    bench = spark.createDataFrame([(1, "a b c d e f")], ["bid", "text"])
+    docs = spark.createDataFrame([(2, "a b c d e f g")], ["doc_id", "text"])
+    plan = D.decontaminate(docs, "doc_id", "text", bench, "bid", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    plan2 = D.decontaminate(
+        docs, "doc_id", "text", bench, "bid", "text", broadcast_benchmark=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
