@@ -803,8 +803,13 @@ def _q_decontaminate(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    bench = flat.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bid"), "text"
+    # materialize the tiny bench side before the broadcast join: the
+    # broadcast build otherwise re-executes the full corpus scan + concat
+    # just to keep 1/97 of the rows (CLAUDE.md rule 8)
+    bench = (
+        flat.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bid"), "text")
+        .localCheckpoint()
     )
     out = decontaminate(
         flat, "doc_id", "text", bench, "bid", "text", shingle_len=5, min_overlap=3

@@ -25,11 +25,19 @@ from mmgraphrag_spark.functions.vectors import cosine_similarity_col
 # shingling (shared by MinHash / Jaccard / fingerprinting)
 # ---------------------------------------------------------------------------
 
+def norm_text(col: Column) -> Column:
+    """THE shared word normalization (lower, strip non-[a-z0-9 ], trim,
+    collapse spaces) behind word_tokens / word_shingles /
+    textstats.repetition_features — one definition so a character-class
+    change propagates everywhere the oracles' _TOKS mirrors it."""
+    cleaned = F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "))
+    return F.regexp_replace(cleaned, r" +", " ")
+
+
 def word_tokens(col: Column) -> Column:
     """Lowercased word tokens; punctuation stripped. Mirrors the DuckDB oracle:
     string_split_regex(trim(lower(regexp_replace(text,'[^a-z0-9 ]',' '))), ' +')."""
-    cleaned = F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "))
-    return F.split(cleaned, r" +")
+    return F.split(norm_text(col), r" +")
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -39,8 +47,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     matches) instead of per-index array slices: higher-order array lambdas are
     interpreted (never codegen'd) and cost ~50us per shingle; the single
     regexp_extract_all is ~26x faster at sf0.1 and set-identical (verified)."""
-    cleaned = F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "))
-    norm = F.regexp_replace(cleaned, r" +", " ")
+    norm = norm_text(col)
     pat = r"\b(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (n - 1)
     grams = F.regexp_extract_all(norm, F.lit(pat), 1)
     return F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(F.array(norm))

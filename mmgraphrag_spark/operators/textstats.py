@@ -144,9 +144,10 @@ def repetition_features(
         F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
     # overlapping word 2-grams via one regex pass (CLAUDE.md rule 4: no
-    # per-index interpreted array slices); norm matches word_tokens' cleanup
-    cleaned = F.trim(F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", " "))
-    norm = F.regexp_replace(cleaned, r" +", " ")
+    # per-index interpreted array slices); the ONE shared normalization
+    from mmgraphrag_spark.operators.dedup import norm_text
+
+    norm = norm_text(t)
     grams = F.regexp_extract_all(norm, F.lit(r"\b(?=([a-z0-9]+ [a-z0-9]+))"), 1)
     units = F.concat(
         F.transform(lines, lambda x: F.concat(F.lit("l"), x)),
@@ -235,11 +236,9 @@ def link_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     link-dense). Pure JVM regex (RE2-compatible patterns, reproducible in the
     SQL oracle); zero shuffles."""
     urls = F.regexp_extract_all(F.col(text_col), F.lit(r"https?://[^\s]+"), 0)
-    emails = F.regexp_extract_all(
-        F.col(text_col),
-        F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
-        0,
-    )
+    # the email definition is PII_EMAIL — link density and PII redaction must
+    # never disagree on what an email is
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), 0)
     # total url chars WITHOUT interpreted array lambdas (CLAUDE.md rule 4):
     # join-then-length is codegen'd and equals the per-element length sum
     url_chars = F.length(F.array_join(urls, ""))

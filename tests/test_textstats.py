@@ -128,6 +128,25 @@ def test_assign_split_deterministic_and_balanced(spark):
     assert out.exceptAll(other).count() > 0
 
 
+def test_deterministic_sample(spark):
+    from mmgraphrag_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.col("doc_id") * 2
+    )
+    out = deterministic_sample(df, "doc_id", rate_per_256=26, seed="s")
+    n = out.count()
+    assert 0.06 < n / 2000 < 0.15  # ~10.2%
+    # it's a filter: all original columns survive
+    assert out.columns == ["doc_id", "payload"]
+    # layout-independent and seed-keyed
+    again = deterministic_sample(df.repartition(13), "doc_id", 26, seed="s")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # rate 256 keeps everything, rate 0 keeps nothing
+    assert deterministic_sample(df, "doc_id", 256).count() == 2000
+    assert deterministic_sample(df, "doc_id", 0).count() == 0
+
+
 def test_stratified_sample_rates(spark):
     from mmgraphrag_spark.operators.sampling import stratified_sample
 
