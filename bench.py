@@ -61,7 +61,11 @@ def run_kg_pipeline(spark, sf_dir: str, replicas: int = 1) -> dict:
 
         from mmgraphrag_spark.plans import ParquetCheckpointer
 
-        checkpointer = ParquetCheckpointer(spark, tempfile.mkdtemp(prefix="kgckpt_"))
+        checkpointer = ParquetCheckpointer(
+            spark,
+            tempfile.mkdtemp(prefix="kgckpt_"),
+            codec=os.environ.get("SPARK_GRAFT_CKPT_CODEC") or None,
+        )
 
     flat = _scaled_documents(spark, sf_dir, replicas)
     n_docs = flat.count()

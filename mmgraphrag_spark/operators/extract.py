@@ -73,6 +73,7 @@ def extract_mentions(
     backend=None,
     llm_cache: DataFrame | None = None,
     cache_namespace: str = "text",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """chunks -> mentions(chunk_id, doc_id, records) via mapInPandas.
 
@@ -82,6 +83,15 @@ def extract_mentions(
     ``cache_namespace`` participate — mirroring the reference's SEPARATE
     text vs multimodal response caches (img2graph.py:603-608): a text-model
     reply must never satisfy a multimodal probe for the same content hash.
+
+    ``pre_partitioned=True`` promises the caller already pinned the input's
+    width with an EXPLICIT repartition (see dedup_chunk_occurrences n_parts),
+    so no exchange is added here. Leave it False for inputs whose layout came
+    out of an AQE-coalescible shuffle: a size-coalesced 1-2 partition input
+    would serialize the UDF. Measured (profile_mentions.py, 2M docs): the
+    unconditional round-robin exchange re-shuffled every chunk's content a
+    second time and was the stage's worst anti-scaling term (eff 0.28 1->4
+    cores — absolute cost GREW with cores while the UDF itself scaled 0.81).
     """
     backend = backend or DeterministicExtractor()
     if llm_cache is not None and "namespace" in llm_cache.columns:
@@ -91,7 +101,9 @@ def extract_mentions(
     # explicit width for the python stage: upstream AQE-coalesced shuffles may
     # arrive as 1-2 partitions (size-based), which would serialize the UDF
     n_parts = chunks.sparkSession.sparkContext.defaultParallelism
-    src = chunks.select("chunk_id", "doc_id", "content").repartition(n_parts)
+    src = chunks.select("chunk_id", "doc_id", "content")
+    if not pre_partitioned:
+        src = src.repartition(n_parts)
     schema = "chunk_id string, doc_id string, records string"
     if llm_cache is not None:
         keyed = src.withColumn("_h", args_hash(F.col("content")))

@@ -76,11 +76,25 @@ def chunk_text_spans(
     return dedup_chunk_occurrences(_chunk_rows(spans, max_tokens, overlap))
 
 
-def dedup_chunk_occurrences(occurrences: DataFrame) -> DataFrame:
+def dedup_chunk_occurrences(
+    occurrences: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Occurrence rows -> deduplicated chunk rows (one per chunk_id, keeping
     min (doc_id, chunk_order_index) for determinism). Split out so the
     pipeline can reuse the already-checkpointed occurrences instead of
-    re-chunking every span a second time."""
+    re-chunking every span a second time.
+
+    ``n_parts`` pins the window's own exchange to an explicit
+    hash(chunk_id, n_parts) repartition. Two effects, both measured on the
+    2M-doc profile (scripts/profile_mentions.py): AQE cannot coalesce an
+    explicit repartition, so the downstream python stage keeps its width
+    without extract_mentions adding a SECOND full-content round-robin
+    exchange on top of this one — the extra exchange was the worst-scaling
+    term of the whole mentions stage (eff 0.28 at 1->4 cores vs 0.81 for the
+    extraction UDF itself: shuffling chunk content twice is pure memory-
+    bandwidth burn that contends with itself at wider parallelism)."""
+    if n_parts is not None:
+        occurrences = occurrences.repartition(n_parts, "chunk_id")
     w = Window.partitionBy("chunk_id").orderBy("doc_id", "chunk_order_index")
     return (
         occurrences.withColumn("_rn", F.row_number().over(w))

@@ -84,8 +84,13 @@ def run_pipeline(
     )
     # chunk dedup stays LAZY: the window runs inside its single heavy consumer
     # (the mentions stage) instead of paying a separate 2M-row materialization
-    # + barrier; resume recomputes it from the committed chunk_rows snapshot
-    chunks = S.dedup_chunk_occurrences(chunk_rows)
+    # + barrier; resume recomputes it from the committed chunk_rows snapshot.
+    # The dedup's exchange is pinned explicitly (AQE-proof) so the extraction
+    # UDF inherits its width and extract_mentions skips the second
+    # full-content exchange it otherwise adds (profile_mentions.py: that
+    # extra shuffle was the stage's worst 1->4-core anti-scaling term).
+    n_parts = spark.sparkContext.defaultParallelism
+    chunks = S.dedup_chunk_occurrences(chunk_rows, n_parts=n_parts)
     # fusion's neighborhood join needs only (chunk_id, position) per occurrence
     occurrences = chunk_rows.select("chunk_id", "doc_id", "chunk_order_index")
     # media path prunes at the DOCUMENT level with native array ops
@@ -114,7 +119,10 @@ def run_pipeline(
     )
 
     mentions = cp.stage(
-        "mentions", X.extract_mentions(chunks, backend=extractor, llm_cache=llm_cache)
+        "mentions",
+        X.extract_mentions(
+            chunks, backend=extractor, llm_cache=llm_cache, pre_partitioned=True
+        ),
     )
     # parse the record grammar ONCE: three consumers (edge merge, entity
     # merge, fusion's occurrence join) each re-ran the regex explode over the

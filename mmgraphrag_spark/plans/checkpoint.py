@@ -130,9 +130,14 @@ class ParquetCheckpointer:
 
     eager_stages = True  # stage() writes (an action) before returning
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, codec: str | None = None):
+        """``codec`` overrides the parquet compression for snapshot writes
+        (None = session default, snappy). zstd trades ~equal CPU for ~2-3x
+        fewer bytes on text-heavy stages — on bandwidth-contended hosts the
+        smaller writeback is the difference that scales (see BENCH.md)."""
         self.spark = spark
         self.root = root
+        self.codec = codec
         self._fs = _HadoopFS(spark, root)
         self._fs.mkdirs(root)
 
@@ -163,9 +168,12 @@ class ParquetCheckpointer:
         from pyspark.sql import Observation
 
         obs = Observation(f"stage_{name}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).parquet(path)
+        )
+        if self.codec:
+            writer = writer.option("compression", self.codec)
+        writer.parquet(path)
         observed = obs.get
         out = self.spark.read.parquet(path)
         # per-partition lineage: rows per file of the committed snapshot,
