@@ -35,8 +35,16 @@ def _scaled_documents(spark, sf_dir: str, replicas: int):
         # max(doc_id)+1, not the row count
         stride = flat.agg(F.max("doc_id")).first()[0] + 1
         # spread the small source across tasks BEFORE the explode so replica
-        # expansion runs in parallel instead of inside the single input split
-        flat = flat.repartition(para).select(
+        # expansion runs in parallel instead of inside the single input split.
+        # That pre-spread is also the FINAL layout: each task expands its
+        # slice of source docs in place, so partitions come out balanced and
+        # re-hashing the expanded corpus by doc_id would shuffle the full
+        # text a second time for no downstream benefit (every doc-keyed
+        # consumer — dedup, J2/J3 — shuffles on its own key anyway; this is
+        # the Iceberg-table-already-bucketed case of run_pipeline's guard).
+        # Measured: the dropped exchange was ~3 s/2M docs at 4 cores and
+        # scaled WORSE than the work it fed (see profile_mentions.py note).
+        return flat.repartition(para).select(
             "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
         ).select(
             (F.col("doc_id") + F.col("r") * stride).alias("doc_id"),
