@@ -915,6 +915,30 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select(F.col("doc_id").cast("bigint").alias("id"), "lang")
 
 
+def _q_pack_blocks(spark, sf_dir):
+    """GPT-style concat-and-chunk packing plan: whitespace token counts ->
+    8 content-keyed streams -> per-stream cumulative offsets -> fixed
+    512-token block spans per doc. One exchange on the stream key; the
+    global-cumsum WindowExec scale-killer never appears."""
+    from mmgraphrag_spark.operators.sampling import pack_training_blocks
+    from mmgraphrag_spark.operators.textstats import token_counts
+
+    toks = token_counts(_flat(spark, sf_dir), "doc_id", "text").select(
+        "id", F.col("ws_tokens").alias("tokens")
+    )
+    out = pack_training_blocks(
+        toks, "id", "tokens", block_tokens=512, n_streams=8
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("stream").cast("int").alias("stream"),
+        "stream_pos",
+        "start_block",
+        "end_block",
+        "n_blocks",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_sequence": _q_spans_sequence,
@@ -965,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "assign_split": _q_assign_split,
         "stratified_sample": _q_stratified_sample,
+        "pack_blocks": _q_pack_blocks,
     }
 
 
@@ -2035,6 +2060,38 @@ WITH t AS (
 SELECT doc_id AS id, lang FROM t
 WHERE b < CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN 'zz'
                WHEN 'zh' THEN '00' ELSE '0d' END
+"""
+
+    # concat-and-chunk packing: same md5 stream key (hex pair -> int via
+    # digit positions — no engine-specific hex casts), same string-ordered
+    # per-stream cumulative sum, same closed-form block spans
+    sql["pack_blocks"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+         substr(md5('pack:' || doc_id), 1, 2) AS b
+  FROM documents
+), s AS (
+  SELECT doc_id, tok,
+         ((strpos('0123456789abcdef', substr(b, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(b, 2, 1)) - 1) % 8 AS stream
+  FROM t
+), c AS (
+  SELECT doc_id, tok, stream,
+         SUM(tok) OVER (PARTITION BY stream ORDER BY CAST(doc_id AS VARCHAR)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS stream_pos
+  FROM s
+)
+SELECT doc_id AS id,
+       CAST(stream AS INTEGER) AS stream,
+       CAST(stream_pos AS BIGINT) AS stream_pos,
+       CAST(stream_pos // 512 AS BIGINT) AS start_block,
+       CAST((stream_pos + GREATEST(tok - 1, 0)) // 512 AS BIGINT) AS end_block,
+       CAST(CASE WHEN tok = 0 THEN 0
+                 ELSE (stream_pos + tok - 1) // 512
+                      - stream_pos // 512 + 1 END AS BIGINT) AS n_blocks
+FROM c
 """
 
     return sql

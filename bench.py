@@ -144,7 +144,7 @@ def main() -> None:
         "a1_entity_merge", "a2_edge_merge", "a10_token_budget", "w4_ranking",
         "media_features", "w7_mm_limit", "p8_cache_hits",
         "repetition", "pii_scrub", "assign_split", "stratified_sample",
-        "decontaminate",
+        "decontaminate", "pack_blocks",
         # NOT j13_media_rewrite: it reads the memoized _kg() pipeline run, so
         # its first-call timing is ~entirely a duplicate of the kg_pipeline
         # headline (measured 14.2 s vs <1 s for the join itself); its

@@ -16,7 +16,7 @@ pure JVM expressions: WholeStageCodegen, zero shuffles, zero UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,74 @@ def stratified_sample(
     for value, rate in sorted(rates_per_256.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(_hex2(rate))).otherwise(thr)
     return df.filter(b < thr)
+
+
+def pack_training_blocks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_tokens: int = 2048,
+    n_streams: int = 256,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents are concatenated in
+    a deterministic order and the token stream is cut into fixed
+    ``block_tokens`` windows (documents may straddle block boundaries — the
+    standard pretraining packing, not bin packing). Returns one row per doc:
+
+        (id, stream, stream_pos, start_block, end_block, n_blocks)
+
+    where ``stream_pos`` is the doc's first-token offset within its stream,
+    ``start_block``/``end_block`` the first/last block index it lands in, and
+    ``n_blocks`` how many blocks it spans — everything a writer needs to
+    materialize block files without ever holding a stream in one place.
+
+    Scale design: a single global token stream would need a GLOBAL cumulative
+    sum (one unpartitioned window — the exact WindowExec scale-killer this
+    repo bans). Instead docs are sharded into ``n_streams`` independent
+    streams by the same content-keyed md5 bucket as assign_split — stable
+    under repartitioning — and each stream packs independently: ONE exchange
+    on the stream key, per-stream window cumsum, all closed-form (exact SQL
+    oracle). Per-stream remainder waste is < block_tokens tokens, i.e.
+    bounded by n_streams * block_tokens total regardless of corpus size.
+    Empty docs (0 tokens) get n_blocks=0 with start_block=end_block=the
+    block containing their offset position.
+    """
+    if block_tokens <= 0:
+        raise ValueError(f"block_tokens must be positive, got {block_tokens}")
+    if not 1 <= n_streams <= 256:
+        raise ValueError(f"n_streams must be in [1, 256], got {n_streams}")
+    idc, tok = F.col(id_col), F.col(tokens_col).cast("bigint")
+    # reuse the 256-way content-keyed bucket, folded down to n_streams
+    stream = (
+        F.conv(hash_bucket(idc, "pack"), 16, 10).cast("int") % n_streams
+    ).alias("stream")
+    base = df.select(
+        idc.cast("string").alias("id"), tok.alias("_tok"), stream
+    )
+    if n_parts is not None:
+        base = base.repartition(n_parts, "stream")
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = (F.sum("_tok").over(w) - F.col("_tok")).alias("stream_pos")
+    out = base.select("id", "stream", "_tok", pos)
+    # bigint DIV, not floor(double /): a double quotient can misround at the
+    # block boundary once per-stream token totals pass 2^53
+    start = F.expr(f"stream_pos DIV {int(block_tokens)}")
+    end = F.expr(
+        f"(stream_pos + GREATEST(_tok - 1, 0)) DIV {int(block_tokens)}"
+    )
+    return out.select(
+        "id",
+        "stream",
+        "stream_pos",
+        start.cast("bigint").alias("start_block"),
+        end.cast("bigint").alias("end_block"),
+        F.when(F.col("_tok") == 0, F.lit(0))
+        .otherwise(end - start + 1)
+        .cast("bigint")
+        .alias("n_blocks"),
+    )

@@ -202,3 +202,22 @@ def test_pipeline_stages_never_plan_nested_loops(spark, documents_df):
     for name, plan in cp.plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_mentions_stage_single_exchange(spark, documents_df):
+    """The dedup+extraction chain must plan exactly ONE exchange: the dedup
+    window's explicit hash(chunk_id, n) repartition, consumed directly by
+    MapInPandas. A second (round-robin) exchange re-shuffles every chunk's
+    content and was measured as the pipeline's worst 1->4-core anti-scaling
+    term (BENCH.md round-4 decomposition) — this pins the fixed plan."""
+    from mmgraphrag_spark.operators import extract as X
+    from mmgraphrag_spark.operators import spans as S
+
+    chunk_rows = S.chunk_occurrences(S.explode_spans(documents_df)).localCheckpoint()
+    chunks = S.dedup_chunk_occurrences(chunk_rows, n_parts=4)
+    plan = _plan(X.extract_mentions(chunks, pre_partitioned=True))
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan  # explicit -> AQE cannot coalesce it
+    assert "hashpartitioning(chunk_id" in plan
+    # round_robin would mean the redundant second exchange came back
+    assert "roundrobinpartitioning" not in plan.lower(), plan

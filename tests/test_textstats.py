@@ -178,3 +178,47 @@ def test_link_stats(spark):
     assert out[1] == (0, 0, 0.0)
     n_urls, n_emails, ratio = out[2]
     assert n_urls == 2 and n_emails == 1 and 0 < ratio < 1
+
+
+def test_pack_training_blocks(spark):
+    """Concat-and-chunk packing vs a pure-python replay: per-stream string-
+    ordered offsets, straddling docs span the right blocks, zero-token docs
+    pack to n_blocks=0, and the plan carries exactly one exchange."""
+    import hashlib
+
+    from mmgraphrag_spark.operators.sampling import pack_training_blocks
+
+    rows = [(i, (i * 7) % 23) for i in range(200)] + [(900, 0), (901, 120)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = pack_training_blocks(
+        df, "doc_id", "tokens", block_tokens=16, n_streams=4, n_parts=4
+    ).collect()
+
+    # python replay of the exact contract
+    def stream_of(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:2], 16) % 4
+
+    streams: dict = {}
+    for i, tok in rows:
+        streams.setdefault(stream_of(i), []).append((str(i), tok))
+    exp = {}
+    for s, members in streams.items():
+        pos = 0
+        for sid, tok in sorted(members):
+            start, end = pos // 16, (pos + max(tok - 1, 0)) // 16
+            exp[sid] = (s, pos, start, end, 0 if tok == 0 else end - start + 1)
+            pos += tok
+    got = {
+        r["id"]: (r["stream"], r["stream_pos"], r["start_block"],
+                  r["end_block"], r["n_blocks"])
+        for r in out
+    }
+    assert got == exp
+    # a doc bigger than one block must straddle
+    assert any(r["n_blocks"] > 1 for r in out)
+    assert got["900"][4] == 0  # zero-token doc
+
+    plan = pack_training_blocks(
+        df, "doc_id", "tokens", block_tokens=16, n_streams=4, n_parts=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
