@@ -821,10 +821,58 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+# 12-word phrase planted TWICE on every fifth doc: a phrase of length L
+# repeated consecutively duplicates every n-gram with n <= L, so all of
+# Gopher's dup_{5..10}gram fractions go nonzero on those docs
+_REP_PHRASE = (
+    "orchard river castle lantern marble falcon timber harbor meadow"
+    " copper anchor willow"
+)
+
+
+# 14-word canary planted on every ninth doc; two of its internal 13-grams
+# collide with the benchmark side (the %97 docs — doc 0 carries the canary)
+_SPAN_CANARY = (
+    "every benchmark suite hides one canary sentence that must never appear"
+    " in training corpora"
+)
+
+
+def _q_decontaminate_spans(spark, sf_dir):
+    """GPT-3 appendix C production decontamination: 13-gram collisions cut a
+    padded TOKEN window around each hit, merged into maximal spans per doc —
+    the cut list a splitter consumes instead of dropping whole documents.
+    The 14-word canary on every ninth doc shares its internal 13-grams with
+    benchmark doc 0, so real multi-hit merged spans exist at every sf."""
+    from mmgraphrag_spark.operators.dedup import decontaminate_spans
+
+    flat = _flat(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(f" {_SPAN_CANARY}"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # materialize the tiny bench side before the broadcast join (CLAUDE.md
+    # rule 8: the broadcast build would re-run the corpus scan otherwise)
+    bench = flat.filter(F.col("doc_id") % 97 == 0).select("text").localCheckpoint()
+    out = decontaminate_spans(
+        flat, "doc_id", "text", bench, "text", shingle_len=13, pad_tokens=5
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+    )
+
+
 def _q_repetition(spark, sf_dir):
-    """Gopher-style repetition features. Duplicate lines are planted
-    deterministically (the synthetic corpus is single-line), so the oracle
-    asserts real nonzero fractions on every third doc."""
+    """Full Gopher repetition suite (Rae et al. Table A1): dup-line fractions,
+    top-2/3/4-gram char fractions, dup-5..10-gram char fractions. Duplicate
+    lines are planted on every third doc and a twice-repeated 12-word phrase
+    on every fifth (the synthetic corpus is single-line and non-repetitive),
+    so the oracle asserts real nonzero values for every output column."""
     from mmgraphrag_spark.operators.textstats import repetition_features
 
     flat = _flat(spark, sf_dir).select(
@@ -838,6 +886,10 @@ def _q_repetition(spark, sf_dir):
                     F.col("doc_id") % 11,
                 ),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(f" {_REP_PHRASE} {_REP_PHRASE}"),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     out = repetition_features(flat, "doc_id", "text")
@@ -847,6 +899,9 @@ def _q_repetition(spark, sf_dir):
         "dup_line_frac",
         "dup_line_char_frac",
         "top_bigram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
     )
 
 
@@ -939,6 +994,45 @@ def _q_pack_blocks(spark, sf_dir):
     )
 
 
+def _q_pack_manifest(spark, sf_dir):
+    """Block-writer manifest: the inverse view of pack_blocks — per (stream,
+    block), the ordered doc slices (id, block_offset, doc_offset, slice_len)
+    that fill it, closed-form from the same per-stream cumsum. One exchange."""
+    from mmgraphrag_spark.operators.sampling import pack_manifest
+    from mmgraphrag_spark.operators.textstats import token_counts
+
+    toks = token_counts(_flat(spark, sf_dir), "doc_id", "text").select(
+        "id", F.col("ws_tokens").alias("tokens")
+    )
+    out = pack_manifest(toks, "id", "tokens", block_tokens=512, n_streams=8)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("stream").cast("int").alias("stream"),
+        F.col("block").cast("bigint").alias("block"),
+        "block_offset",
+        "doc_offset",
+        "slice_len",
+    )
+
+
+def _q_ivf_probe_prebuilt(spark, sf_dir):
+    """The query-service shape of IVF: quantizer + inverted file built ONCE
+    (build_ivf_index), then only the probe joins run per query — result-
+    identical to ivf_topk at the same parameters (the fit is deterministic),
+    so it shares that exact oracle. bench.py times the probe alone with the
+    index built outside the timer."""
+    from mmgraphrag_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    idx = build_ivf_index(emb, n_centroids=8, max_iter=3)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(None, q, k=10, n_probe=3, index=idx).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_sequence": _q_spans_sequence,
@@ -986,10 +1080,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_cache_hits": _q_p8_cache_hits,
         "repetition": _q_repetition,
         "decontaminate": _q_decontaminate,
+        "decontaminate_spans": _q_decontaminate_spans,
         "pii_scrub": _q_pii_scrub,
         "assign_split": _q_assign_split,
         "stratified_sample": _q_stratified_sample,
         "pack_blocks": _q_pack_blocks,
+        "pack_manifest": _q_pack_manifest,
+        "ivf_probe_prebuilt": _q_ivf_probe_prebuilt,
     }
 
 
@@ -1901,18 +1998,31 @@ WITH g AS (
 SELECT user_id, count(*) AS n_quick FROM g WHERE gap <= 60.0 GROUP BY 1
 """
 
-    # same planted duplicate lines and the same closed-form math as
-    # operators.textstats.repetition_features (prefix-tagged units, argmax
-    # 2-gram by (count, gram)); grams come from the positional token
-    # self-join because RE2 has no lookahead — proven set-identical to the
-    # Spark regex in tests
-    sql["repetition"] = """
+    # same planted duplicate lines / repeated phrase and the same closed-form
+    # math as operators.textstats.repetition_features (prefix-tagged units,
+    # argmax n-gram by (count, gram), capped dup-gram char sums); grams come
+    # from list slices over the token array because RE2 has no lookahead —
+    # proven set-identical to the Spark regex in tests
+    dup_cols = ",\n         ".join(
+        f"sum(CASE WHEN substr(u, 1, 1) = '{p}' AND cnt > 1"
+        f" THEN cnt * (len(u) - 1) ELSE 0 END) AS dupg{n}"
+        for p, n in [("5", 5), ("6", 6), ("7", 7), ("8", 8), ("9", 9), ("x", 10)]
+    )
+    dup_out = ",\n       ".join(
+        f"round(least(CAST(1.0 AS DOUBLE), COALESCE(a.dupg{n}, 0)"
+        f" / greatest(CAST(len(b.norm) AS DOUBLE), 1)), 4) AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    sql["repetition"] = f"""
 WITH t AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 = 0
                       THEN chr(10) || 'repeated line alpha' ||
                            chr(10) || 'repeated line alpha' ||
                            chr(10) || 'unique tail ' || (doc_id % 11)
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' {_REP_PHRASE} {_REP_PHRASE}'
                       ELSE '' END AS text
   FROM documents
 ),
@@ -1924,15 +2034,14 @@ b AS (
                         ' +', ' ', 'g') AS norm
   FROM t
 ),
+bw AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM b WHERE norm <> ''),
 lu AS (SELECT doc_id, 'l' || unnest(lines) AS u FROM b),
-tok AS (
-  SELECT doc_id, unnest(string_split(norm, ' ')) AS tk,
-         generate_subscripts(string_split(norm, ' '), 1) AS o
-  FROM b
-),
 gu AS (
-  SELECT a.doc_id, 'g' || a.tk || ' ' || c.tk AS u
-  FROM tok a JOIN tok c ON a.doc_id = c.doc_id AND c.o = a.o + 1
+  SELECT bw.doc_id, k.pfx || array_to_string(w[t.i : t.i + k.n - 1], ' ') AS u
+  FROM bw,
+       (VALUES ('2', 2), ('3', 3), ('4', 4), ('5', 5), ('6', 6),
+               ('7', 7), ('8', 8), ('9', 9), ('x', 10)) AS k(pfx, n),
+       unnest(generate_series(1, len(w) - k.n + 1)) AS t(i)
 ),
 units AS (SELECT * FROM lu UNION ALL SELECT * FROM gu),
 per AS (SELECT doc_id, u, count(*) AS cnt FROM units GROUP BY 1, 2),
@@ -1943,13 +2052,22 @@ agg AS (
          sum(CASE WHEN substr(u, 1, 1) = 'l' AND cnt > 1
                   THEN cnt * (len(u) - 1) ELSE 0 END) AS dup_chars,
          sum(CASE WHEN substr(u, 1, 1) = 'l'
-                  THEN cnt * (len(u) - 1) ELSE 0 END) AS tot_chars
+                  THEN cnt * (len(u) - 1) ELSE 0 END) AS tot_chars,
+         {dup_cols}
   FROM per GROUP BY 1
 ),
 topg AS (
-  SELECT doc_id, cnt * (len(u) - 1) AS topchars
-  FROM per WHERE substr(u, 1, 1) = 'g'
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, u DESC) = 1
+  SELECT doc_id, substr(u, 1, 1) AS k, cnt * (len(u) - 1) AS topchars
+  FROM per WHERE substr(u, 1, 1) IN ('2', '3', '4')
+  QUALIFY row_number() OVER (PARTITION BY doc_id, substr(u, 1, 1)
+                             ORDER BY cnt DESC, u DESC) = 1
+),
+topa AS (
+  SELECT doc_id,
+         max(CASE WHEN k = '2' THEN topchars END) AS top2,
+         max(CASE WHEN k = '3' THEN topchars END) AS top3,
+         max(CASE WHEN k = '4' THEN topchars END) AS top4
+  FROM topg GROUP BY 1
 )
 SELECT b.doc_id AS id,
        CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
@@ -1958,11 +2076,16 @@ SELECT b.doc_id AS id,
                   ELSE 0 END, 4) AS dup_line_frac,
        round(COALESCE(a.dup_chars, 0) / greatest(CAST(COALESCE(a.tot_chars, 0) AS DOUBLE), 1),
              4) AS dup_line_char_frac,
-       round(COALESCE(g.topchars / greatest(CAST(len(b.norm) AS DOUBLE), 1), 0),
-             4) AS top_bigram_char_frac
+       round(COALESCE(g.top2 / greatest(CAST(len(b.norm) AS DOUBLE), 1), 0),
+             4) AS top_bigram_char_frac,
+       round(COALESCE(g.top3 / greatest(CAST(len(b.norm) AS DOUBLE), 1), 0),
+             4) AS top_3gram_char_frac,
+       round(COALESCE(g.top4 / greatest(CAST(len(b.norm) AS DOUBLE), 1), 0),
+             4) AS top_4gram_char_frac,
+       {dup_out}
 FROM b
 LEFT JOIN agg a USING (doc_id)
-LEFT JOIN topg g USING (doc_id)
+LEFT JOIN topa g USING (doc_id)
 """
 
     # same distinct word 5-grams as the fingerprint oracle (positional token
@@ -1994,6 +2117,45 @@ SELECT d.doc_id AS id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh d JOIN bsh b USING (s)
 GROUP BY 1, 2
 HAVING count(*) >= 3
+"""
+
+    # GPT-3 appx-C span decontamination: positional 13-grams from token-array
+    # slices (the Spark side's posexplode index i-1 == DuckDB's 1-based slice
+    # start - 1), pad 5 tokens, clamp to the doc, merge islands with the same
+    # null-comparison-is-false CASE the Spark window uses
+    sql["decontaminate_spans"] = f"""
+WITH d0 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 0 THEN ' {_SPAN_CANARY}' ELSE '' END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, {_TOKS} AS w FROM d0),
+sh AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         array_to_string(w[g.i : g.i + 12], ' ') AS s, len(w) AS ntok
+  FROM t, unnest(generate_series(1, len(w) - 12)) AS g(i)
+),
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, greatest(pos - 5, 0) AS s0, least(pos + 12 + 5, ntok - 1) AS e0
+  FROM sh JOIN bsh USING (s)
+),
+isl AS (
+  SELECT doc_id, s0, e0,
+         sum(CASE WHEN s0 > pm + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s0, e0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT doc_id, s0, e0,
+           max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM hits
+  )
+)
+SELECT doc_id AS id,
+       CAST(min(s0) AS BIGINT) AS span_start,
+       CAST(max(e0) AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
 """
 
     # the identical RE2-compatible patterns as textstats.PII_EMAIL/IP/PHONE,
@@ -2093,5 +2255,42 @@ SELECT doc_id AS id,
                       - stream_pos // 512 + 1 END AS BIGINT) AS n_blocks
 FROM c
 """
+
+    # the packer's inverse view: same stream/cumsum CTEs, then one block-range
+    # unnest per doc and the clip arithmetic (block_offset / doc_offset /
+    # slice_len) — zero-token docs contribute no slice
+    sql["pack_manifest"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok,
+         substr(md5('pack:' || doc_id), 1, 2) AS b
+  FROM documents
+), s AS (
+  SELECT doc_id, tok,
+         ((strpos('0123456789abcdef', substr(b, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(b, 2, 1)) - 1) % 8 AS stream
+  FROM t
+), c AS (
+  SELECT doc_id, tok, stream,
+         SUM(tok) OVER (PARTITION BY stream ORDER BY CAST(doc_id AS VARCHAR)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS stream_pos
+  FROM s
+)
+SELECT doc_id AS id,
+       CAST(stream AS INTEGER) AS stream,
+       CAST(t.blk AS BIGINT) AS block,
+       CAST(greatest(t.blk * 512, stream_pos) - t.blk * 512 AS BIGINT) AS block_offset,
+       CAST(greatest(t.blk * 512, stream_pos) - stream_pos AS BIGINT) AS doc_offset,
+       CAST(least((t.blk + 1) * 512, stream_pos + tok)
+            - greatest(t.blk * 512, stream_pos) AS BIGINT) AS slice_len
+FROM c, unnest(generate_series(CAST(stream_pos // 512 AS BIGINT),
+                               CAST((stream_pos + tok - 1) // 512 AS BIGINT))) AS t(blk)
+WHERE tok > 0
+"""
+
+    # result-identical to ivf_topk (deterministic fit, same parameters) — the
+    # prebuilt-index path must reproduce the refit path bit-for-bit
+    sql["ivf_probe_prebuilt"] = sql["ivf_topk"]
 
     return sql

@@ -53,6 +53,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(F.array(norm))
 
 
+def word_shingle_positions(col: Column, n: int) -> Column:
+    """ORDERED, non-distinct word n-grams: element i of the returned array is
+    the n-gram starting at token index i (the lookahead regex matches at
+    every word start with >= n tokens remaining, in order). posexplode over
+    this array therefore yields (token_index, shingle) — the positional
+    variant decontaminate_spans needs; word_shingles stays the de-duplicated
+    set variant the membership joins use."""
+    pat = r"\b(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (n - 1)
+    return F.regexp_extract_all(norm_text(col), F.lit(pat), 1)
+
+
 def minhash_sig(shingles: Column, seed: int) -> Column:
     """One MinHash value: min over shingles of md5(seed || shingle)."""
     return F.array_min(
@@ -391,7 +402,12 @@ def decontaminate(
     when the eval suite itself is huge). groupBy (id, bench_id) counts
     distinct shared shingles with map-side partial aggregation; shingle
     explosion is bounded by document length, and word_shingles is the shared
-    single-pass regex (no per-index array slicing)."""
+    single-pass regex (no per-index array slicing).
+
+    This variant FLAGS whole documents (the per-doc report an auditor
+    reads). GPT-3 appendix C's production rule matches on 13-grams and cuts
+    a window AROUND each collision instead of dropping the document — that
+    is :func:`decontaminate_spans` (shingle_len=13 default)."""
     d_sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_len)).alias("shingle"),
@@ -407,4 +423,68 @@ def decontaminate(
         .groupBy("id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    shingle_len: int = 13,
+    pad_tokens: int = 20,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end): merged TOKEN-index cut spans around every
+    benchmark n-gram collision — the GPT-3 appendix C production rule (13-gram
+    overlap, remove a window AROUND the collision rather than the document;
+    GPT-3 pads ~200 characters, here ``pad_tokens`` word tokens).
+
+    Coordinates are 0-based inclusive indices into ``word_tokens(text)`` —
+    the one normalization every operator here shares — so a cutter that
+    re-tokenizes the same way can excise [span_start, span_end] exactly; raw
+    character offsets would not survive the normalization. Each colliding
+    n-gram at token position p cuts [p - pad_tokens, p + shingle_len - 1 +
+    pad_tokens] clamped to the document; overlapping/adjacent cuts merge
+    into maximal spans (gaps-and-islands), so the output is the minimal cut
+    list per document.
+
+    Scale shape: the corpus side is scanned ONCE (posexplode of the ordered
+    shingle array); the benchmark side reduces to a distinct-shingle set
+    that broadcasts by default, so the join is map-side and the only rows
+    that ever shuffle are the COLLISIONS — rare by construction (a corpus
+    saturated with eval text has bigger problems). The island merge is a
+    per-doc window + groupBy(id, island) over those collision rows only;
+    both keys are collision-bounded, never corpus-bounded."""
+    idc = F.col(id_col)
+    d = df.select(
+        idc.alias("id"),
+        F.size(word_tokens(F.col(text_col))).alias("_ntok"),
+        F.posexplode(word_shingle_positions(F.col(text_col), shingle_len)).alias(
+            "pos", "shingle"
+        ),
+    )
+    b_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text_col), shingle_len)).alias("shingle")
+    ).distinct()
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    hits = d.join(b_sh, "shingle").select(
+        "id",
+        F.greatest(F.col("pos") - pad_tokens, F.lit(0)).alias("s"),
+        F.least(
+            F.col("pos") + (shingle_len - 1) + pad_tokens, F.col("_ntok") - 1
+        ).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(F.col("s") > prev_max_e + 1, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_isl", island)
+        .groupBy("id", "_isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .drop("_isl")
     )

@@ -74,13 +74,35 @@ def stratified_sample(
     rates_per_256: dict[str, int],
     default_rate_per_256: int = 0,
     seed: str = "stratified",
+    max_case_strata: int = 64,
 ) -> DataFrame:
     """Per-stratum deterministic sampling: each stratum value gets its own
     keep-rate (in /256 units), e.g. downsample 'en' to 5% while keeping 100%
     of low-resource languages. Strata missing from `rates_per_256` use
-    `default_rate_per_256`. The rate table folds into a CASE expression —
-    no join, no shuffle, scan-side evaluable at any scale."""
+    `default_rate_per_256`.
+
+    Up to ``max_case_strata`` strata (default 64) the rate table folds into
+    a CASE expression — no join, no shuffle, scan-side evaluable at any
+    scale. Beyond that (per-domain rate tables with thousands of entries)
+    a CASE chain of that depth bloats the expression tree and codegen, so
+    the rates become a broadcast-joined lookup frame instead: still zero
+    shuffles of the corpus side, and the same rows survive (equivalence
+    asserted in tests at 5k strata). Either path is a pure filter — all
+    original columns survive."""
     b = hash_bucket(F.col(id_col), seed)
+    if len(rates_per_256) > max_case_strata:
+        spark = df.sparkSession
+        rates = spark.createDataFrame(
+            [(v, _hex2(r)) for v, r in sorted(rates_per_256.items())],
+            f"`{stratum_col}` string, _thr string",
+        )
+        return (
+            df.join(F.broadcast(rates), stratum_col, "left")
+            .filter(b < F.coalesce(F.col("_thr"), F.lit(_hex2(default_rate_per_256))))
+            .drop("_thr")
+            # the using-column join reorders stratum_col first; restore
+            .select(*df.columns)
+        )
     thr: Column = F.lit(_hex2(default_rate_per_256))
     for value, rate in sorted(rates_per_256.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(_hex2(rate))).otherwise(thr)
@@ -117,7 +139,45 @@ def pack_training_blocks(
     bounded by n_streams * block_tokens total regardless of corpus size.
     Empty docs (0 tokens) get n_blocks=0 with start_block=end_block=the
     block containing their offset position.
+
+    Contract fine print: ids must be UNIQUE — duplicate ids tie in the
+    ROWS-frame window orderBy and make stream_pos nondeterministic (run
+    exact_dedup first if in doubt). And because the 256-way md5 bucket folds
+    with ``% n_streams``, an n_streams that does not divide 256 gives the
+    low-numbered streams ceil(256/n)/floor(256/n) of the buckets (~mild
+    size skew); prefer power-of-2 n_streams for exactly uniform streams.
     """
+    packed = _packed_streams(df, id_col, tokens_col, block_tokens, n_streams, n_parts)
+    # bigint DIV, not floor(double /): a double quotient can misround at the
+    # block boundary once per-stream token totals pass 2^53
+    start = F.expr(f"stream_pos DIV {int(block_tokens)}")
+    end = F.expr(
+        f"(stream_pos + GREATEST(_tok - 1, 0)) DIV {int(block_tokens)}"
+    )
+    return packed.select(
+        "id",
+        "stream",
+        "stream_pos",
+        start.cast("bigint").alias("start_block"),
+        end.cast("bigint").alias("end_block"),
+        F.when(F.col("_tok") == 0, F.lit(0))
+        .otherwise(end - start + 1)
+        .cast("bigint")
+        .alias("n_blocks"),
+    )
+
+
+def _packed_streams(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_tokens: int,
+    n_streams: int,
+    n_parts: int | None,
+) -> DataFrame:
+    """Shared core of pack_training_blocks / pack_manifest: (id, stream,
+    _tok, stream_pos) — content-keyed stream assignment + the per-stream
+    string-ordered cumulative token offset (the ONE exchange)."""
     if block_tokens <= 0:
         raise ValueError(f"block_tokens must be positive, got {block_tokens}")
     if not 1 <= n_streams <= 256:
@@ -138,21 +198,54 @@ def pack_training_blocks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pos = (F.sum("_tok").over(w) - F.col("_tok")).alias("stream_pos")
-    out = base.select("id", "stream", "_tok", pos)
-    # bigint DIV, not floor(double /): a double quotient can misround at the
-    # block boundary once per-stream token totals pass 2^53
-    start = F.expr(f"stream_pos DIV {int(block_tokens)}")
-    end = F.expr(
-        f"(stream_pos + GREATEST(_tok - 1, 0)) DIV {int(block_tokens)}"
-    )
-    return out.select(
+    return base.select("id", "stream", "_tok", pos)
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    block_tokens: int = 2048,
+    n_streams: int = 256,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The block writer's inverse view of pack_training_blocks: one row per
+    (stream, block, doc slice) —
+
+        (stream, block, id, block_offset, doc_offset, slice_len)
+
+    meaning tokens [doc_offset, doc_offset + slice_len) of document ``id``
+    fill positions [block_offset, block_offset + slice_len) of block
+    ``block`` in stream ``stream``. Grouping by (stream, block) and ordering
+    slices by block_offset reproduces each training block exactly; summing
+    slice_len per block gives block_tokens except for each stream's final
+    remainder block. Zero-token docs contribute no slice.
+
+    Same contract fine print as pack_training_blocks (unique ids; prefer
+    power-of-2 n_streams). Closed-form from the same per-stream cumsum: the
+    doc's span [stream_pos, stream_pos + _tok) intersects each block index
+    in [start_block, end_block] — explode that (bounded) range and clip.
+    Still exactly ONE exchange (the stream-key window; the explode and
+    arithmetic are narrow — plan-asserted in tests)."""
+    packed = _packed_streams(df, id_col, tokens_col, block_tokens, n_streams, n_parts)
+    bt = int(block_tokens)
+    start = F.expr(f"stream_pos DIV {bt}")
+    end = F.expr(f"(stream_pos + _tok - 1) DIV {bt}")
+    sliced = packed.filter(F.col("_tok") > 0).select(
         "id",
         "stream",
         "stream_pos",
-        start.cast("bigint").alias("start_block"),
-        end.cast("bigint").alias("end_block"),
-        F.when(F.col("_tok") == 0, F.lit(0))
-        .otherwise(end - start + 1)
-        .cast("bigint")
-        .alias("n_blocks"),
+        "_tok",
+        F.explode(F.sequence(start.cast("bigint"), end.cast("bigint"))).alias("block"),
+    )
+    blk_start = F.col("block") * bt  # stream offset where this block begins
+    cut_start = F.greatest(blk_start, F.col("stream_pos"))
+    cut_end = F.least(blk_start + bt, F.col("stream_pos") + F.col("_tok"))  # exclusive
+    return sliced.select(
+        "stream",
+        "block",
+        "id",
+        (cut_start - blk_start).cast("bigint").alias("block_offset"),
+        (cut_start - F.col("stream_pos")).cast("bigint").alias("doc_offset"),
+        (cut_end - cut_start).cast("bigint").alias("slice_len"),
     )

@@ -155,7 +155,14 @@ def assign_nearest_centroid(
     # partitions, serializing the N x k assignment onto as many cores.
     # Repartition only when under-parallel — at full width the map is
     # already partition-local and the extra shuffle would be pure cost.
+    # The width probe needs an RDD handle, and DataFrame->RDD conversion
+    # re-plans the whole lineage — prohibitive on deep uncut plans (rule 2).
+    # A lazy localCheckpoint cuts the plan exactly once, right here: the
+    # probe below and the mapInPandas both consume the cut LogicalRDD
+    # instead of each re-analyzing the original lineage (no extra compute
+    # pass; the checkpoint materializes with the map job itself).
     par = embeddings.sparkSession.sparkContext.defaultParallelism
+    src = src.localCheckpoint(eager=False)
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     out_schema = ", ".join(

@@ -55,6 +55,47 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+class FasttextLangIdBackend:
+    """Production language-ID backend seam (mirrors YoloMllmBackend /
+    SentenceTransformerBackend gating): a fastText lid.176 model scoring
+    Arrow batches of text. The library and the .bin weights are unavailable
+    in this sandbox, so construction raises with the recipe; the marker
+    heuristic (:func:`language_id`) stays the offline default AND the exact
+    oracle. The Spark plumbing is identical either way: mapInPandas over
+    (id, text) batches emitting (id, lang, score), partitions pinned by the
+    caller like every python stage (CLAUDE.md rule 3)."""
+
+    def __init__(self, model_path: str = "lid.176.bin"):
+        try:
+            import fasttext  # gated import: not in this container
+        except ImportError as e:
+            raise NotImplementedError(
+                "FasttextLangIdBackend needs the fasttext package and the "
+                "lid.176.bin weights (https://fasttext.cc/docs/en/"
+                "language-identification.html); use language_id's marker "
+                "heuristic offline"
+            ) from e
+        self._model_path = model_path
+        self._model = fasttext.load_model(model_path)
+
+    def __getstate__(self):
+        # model weights never ride the closure; rebuilt per python worker
+        return {"model_path": self._model_path}
+
+    def __setstate__(self, state):
+        self.__init__(state["model_path"])
+
+    def map_batches(self, it):
+        for pdf in it:
+            labels, probs = self._model.predict(
+                [t.replace("\n", " ") for t in pdf["text"].tolist()]
+            )
+            pdf = pdf[["id"]].copy()
+            pdf["lang"] = [l[0].removeprefix("__label__") for l in labels]
+            pdf["score"] = [float(p[0]) for p in probs]
+            yield pdf
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
     quality): cheap heuristics a pretraining filter would gate on."""
@@ -111,47 +152,76 @@ def fingerprint(
     )
 
 
+# unit-kind prefixes for repetition_features: one char per n-gram order so a
+# single explode carries every kind and ulen = len(u) - 1 stays uniform
+_TOP_GRAM_KINDS = [("2", 2), ("3", 3), ("4", 4)]
+_DUP_GRAM_KINDS = [("5", 5), ("6", 6), ("7", 7), ("8", 8), ("9", 9), ("x", 10)]
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str, num_partitions: int | None = None
 ) -> DataFrame:
-    """(id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_char_frac):
-    Gopher/MassiveText-style repetition signals for pretraining-data filters.
+    """(id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_char_frac,
+    top_3gram_char_frac, top_4gram_char_frac, dup_{5..10}gram_char_frac):
+    the full Gopher/MassiveText repetition gate (Rae et al. 2021, Table A1):
+    duplicate-line fractions, top n-gram char fractions for n=2..4, and
+    duplicate n-gram char fractions for n=5..10.
 
     Definitions (mirrored exactly by the DuckDB oracle):
       - lines: '\\n'-split, trimmed, empties dropped.
       - dup_line_frac       = 1 - distinct_lines / n_lines.
       - dup_line_char_frac  = chars in lines occurring >1 time (ALL their
                               occurrences) / total line chars.
-      - top_bigram_char_frac = occurrences(top word-2gram) * len(top 2gram)
-                              / len(normalized text); the top 2-gram is the
+      - top_{n}gram_char_frac = occurrences(top word-ngram) * len(top ngram)
+                              / len(normalized text); the top n-gram is the
                               max by (count, gram) so ties are deterministic.
-        Word 2-grams are OVERLAPPING and non-distinct, over word_tokens'
-        normalization.
+        Word n-grams are OVERLAPPING and non-distinct, over word_tokens'
+        normalization — overlapping occurrences re-count shared characters,
+        so the value may exceed 1 on pathologically repetitive docs
+        (uncapped by design; filters threshold well below 1).
+      - dup_{n}gram_char_frac = sum over n-grams occurring >1 time of
+                              occurrences * len(gram) / len(normalized
+                              text), capped at 1.0 (the Gopher convention:
+                              it is read as "fraction of characters inside
+                              duplicated n-grams", and the overlap
+                              re-counting would otherwise push it past 1).
 
     Scale shape: ONE explicit repartition by id, then one explode of
-    kind-prefixed units ('l' + line / 'g' + 2gram) -> groupBy(id, unit) ->
-    groupBy(id) — both aggregations' required distributions are satisfied by
-    the id partitioning, so the whole operator plans exactly one Exchange
-    and zero joins (asserted in test_textstats). explode_outer keeps docs
-    with no nonempty line and <2 tokens (they get 0.0 fractions). Keys are
-    per-document — near-uniform; partial aggregation shrinks the explode
-    output before anything wide. A pathological single doc with millions of
-    lines lands in one partition, inherent to per-document statistics."""
+    kind-prefixed units ('l' + line / '2'..'9','x' + n-gram) ->
+    groupBy(id, unit) -> groupBy(id) — both aggregations' required
+    distributions are satisfied by the id partitioning, so the whole
+    operator plans exactly one Exchange and zero joins (asserted in
+    test_textstats); growing from 1 to 9 gram orders only widened the unit
+    union, not the plan. explode_outer keeps docs with no nonempty line and
+    <2 tokens (they get 0.0 fractions). Keys are per-document —
+    near-uniform; partial aggregation shrinks the explode output before
+    anything wide. A pathological single doc with millions of lines lands
+    in one partition, inherent to per-document statistics."""
     idc = F.col(id_col)
     t = F.col(text_col)
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     lines = F.filter(
         F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
-    # overlapping word 2-grams via one regex pass (CLAUDE.md rule 4: no
-    # per-index interpreted array slices); the ONE shared normalization
+    # overlapping word n-grams via one regex pass per order (CLAUDE.md rule 4:
+    # no per-index interpreted array slices); the ONE shared normalization
     from mmgraphrag_spark.operators.dedup import norm_text
 
     norm = norm_text(t)
-    grams = F.regexp_extract_all(norm, F.lit(r"\b(?=([a-z0-9]+ [a-z0-9]+))"), 1)
+
+    def grams(n: int):
+        pat = r"\b(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (n - 1)
+        return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+    def tagged(arr, p: str):
+        # NOTE: a two-parameter lambda (e.g. `lambda g, p=pfx`) would make
+        # F.transform pass the ELEMENT INDEX as the second argument,
+        # silently clobbering the prefix — hence this single-arg closure
+        return F.transform(arr, lambda g: F.concat(F.lit(p), g))
+
     units = F.concat(
-        F.transform(lines, lambda x: F.concat(F.lit("l"), x)),
-        F.transform(grams, lambda g: F.concat(F.lit("g"), g)),
+        tagged(lines, "l"),
+        *[tagged(grams(n), pfx) for pfx, n in _TOP_GRAM_KINDS + _DUP_GRAM_KINDS],
     )
 
     base = df.repartition(npart, idc).select(
@@ -171,16 +241,30 @@ def repetition_features(
         F.sum(F.when(is_l, F.lit(1)).otherwise(0)).alias("n_distinct_lines"),
         F.sum(F.when(is_l & (cnt > 1), cnt * ulen).otherwise(0)).alias("dup_chars"),
         F.sum(F.when(is_l, cnt * ulen).otherwise(0)).alias("tot_chars"),
-        # argmax 2-gram by (count, gram): max over a struct; nulls (lines,
-        # empty docs) are ignored by max
-        F.max(F.when(kind == "g", F.struct(cnt, F.col("u")))).alias("top"),
+        # argmax n-gram by (count, gram): max over a struct; nulls (lines,
+        # other kinds, empty docs) are ignored by max
+        *[
+            F.max(F.when(kind == pfx, F.struct(cnt, F.col("u")))).alias(f"top{n}")
+            for pfx, n in _TOP_GRAM_KINDS
+        ],
+        *[
+            F.sum(F.when((kind == pfx) & (cnt > 1), cnt * ulen).otherwise(0)).alias(
+                f"dupg{n}"
+            )
+            for pfx, n in _DUP_GRAM_KINDS
+        ],
         F.first("ncn").alias("ncn"),
     )
-    top_frac = (
-        F.col("top").getField("cnt")
-        * (F.length(F.col("top").getField("u")) - 1)
-        / F.greatest(F.col("ncn"), F.lit(1))
-    )
+    ncn = F.greatest(F.col("ncn"), F.lit(1))
+
+    def top_frac(n: int):
+        top = F.col(f"top{n}")
+        raw = top.getField("cnt") * (F.length(top.getField("u")) - 1) / ncn
+        return F.round(F.coalesce(raw, F.lit(0.0)), 4)
+
+    def dup_frac(n: int):
+        return F.round(F.least(F.lit(1.0), F.col(f"dupg{n}") / ncn), 4)
+
     return per_doc.select(
         "id",
         F.col("n_lines").cast("int").alias("n_lines"),
@@ -194,7 +278,10 @@ def repetition_features(
         F.round(F.col("dup_chars") / F.greatest(F.col("tot_chars"), F.lit(1)), 4).alias(
             "dup_line_char_frac"
         ),
-        F.round(F.coalesce(top_frac, F.lit(0.0)), 4).alias("top_bigram_char_frac"),
+        top_frac(2).alias("top_bigram_char_frac"),
+        top_frac(3).alias("top_3gram_char_frac"),
+        top_frac(4).alias("top_4gram_char_frac"),
+        *[dup_frac(n).alias(f"dup_{n}gram_char_frac") for _, n in _DUP_GRAM_KINDS],
     )
 
 

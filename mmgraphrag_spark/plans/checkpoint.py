@@ -11,12 +11,26 @@ Two implementations behind one seam:
   action (each self-join doubles the subtree; measured 170s -> 15s at sf0.01).
 
 - ``ParquetCheckpointer`` — the durable stand-in for Iceberg snapshot commits
-  (this sandbox ships no Iceberg runtime; the write/commit-marker/read-back
-  protocol below is exactly an Iceberg ``MERGE``/snapshot in production).
-  Each stage writes parquet + a ``_COMMIT.json`` marker carrying row counters
-  and per-partition lineage (rows per shuffle partition); a rerun with the same
-  root SKIPS recomputation of committed stages and reads them back — the
+  (this sandbox ships no Iceberg runtime). Each stage writes parquet + a
+  ``_COMMIT.json`` marker carrying row counters and per-partition lineage
+  (rows per shuffle partition); a rerun with the same root SKIPS
+  recomputation of committed stages and reads them back — the
   resume-equals-fresh-run property is asserted in tests/test_checkpoint.py.
+
+On a real lakehouse the mapping is mechanical, and the plan shapes do not
+change: (a) the ``_COMMIT.json`` marker IS an Iceberg snapshot commit —
+atomic visibility + counters live in snapshot summary metadata, and
+``committed()`` becomes "does table state include stage snapshot X"; (b)
+the overwrite-directory upsert paths (entities/edges/triples re-writes in
+streaming/incremental.py, the J6/J7 node/edge upserts) become
+``MERGE INTO entities t USING updates s ON t.entity_name = s.entity_name
+WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...`` — the merge
+aggregation logic (operators/merge.py) is unchanged, only the final write
+gains row-level upsert instead of partition overwrite; (c) time-travel
+resume (``latest committed snapshot``, W9) becomes Iceberg's own snapshot
+log. What this sandbox therefore does NOT demonstrate: Iceberg's commit
+conflict resolution and row-level delete files — everything else
+(resume-from-kill, lineage counters, snapshot selection) is tested here.
 """
 
 from __future__ import annotations
@@ -132,9 +146,11 @@ class ParquetCheckpointer:
 
     def __init__(self, spark: SparkSession, root: str, codec: str | None = None):
         """``codec`` overrides the parquet compression for snapshot writes
-        (None = session default, snappy). zstd trades ~equal CPU for ~2-3x
-        fewer bytes on text-heavy stages — on bandwidth-contended hosts the
-        smaller writeback is the difference that scales (see BENCH.md)."""
+        (None = session default, snappy). Measured here (BENCH.md round-4
+        interleaved A/B): zstd costs ~1.8x WALL vs snappy — its write CPU
+        swamps the ~2-3x byte savings on this host (CLAUDE.md rule 9). The
+        knob exists only for genuinely disk-bound clusters where bytes, not
+        CPU, are the bottleneck."""
         self.spark = spark
         self.root = root
         self.codec = codec

@@ -60,7 +60,8 @@ jobs = {
         .mapInPandas(be.map_batches, schema).write.mode("overwrite")
         .parquet(os.environ["OUT"]),
 }
-# warm each path once at small fraction? full warm: run 'udf' on a limit
+# warmup: one limit(20000) pass through the UDF path JITs the codegen and
+# forks/imports the python workers once, so the timed jobs measure steady state
 read().limit(20000).repartition(cpus).mapInPandas(be.map_batches, schema).agg(
     F.count("records")).collect()
 t = {}

@@ -160,6 +160,46 @@ def test_decontaminate_flags_overlap(spark):
     assert {r.id for r in out3.collect()} == {1}
 
 
+def test_decontaminate_spans(spark):
+    """GPT-3 appx-C span cuts: token-index windows around each 13-gram
+    collision, clamped to the doc, overlapping/adjacent spans merged."""
+    canary = "c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 c11 c12 c13"  # 13 words
+    bench = spark.createDataFrame([(canary,)], ["text"])
+    filler = " ".join(f"f{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # collision at pos 3; 20 tokens total -> span [1, 17] with pad 2
+            (1, f"x0 x1 x2 {canary} y0 y1 y2 y3"),
+            # two overlapping collisions (pos 0 and 14) -> ONE merged span
+            (2, f"{canary} z1 {canary}"),
+            # two far-apart collisions (pos 0 and 33) -> TWO spans
+            (3, f"{canary} {filler} {canary}"),
+            (4, "completely unrelated text with no benchmark overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.decontaminate_spans(
+        docs, "doc_id", "text", bench, "text", shingle_len=13, pad_tokens=2
+    )
+    got = sorted((r.id, r.span_start, r.span_end) for r in out.collect())
+    assert got == [
+        (1, 1, 17),
+        (2, 0, 26),   # [0,14] and [12,26] merge; clamp to ntok-1 = 26
+        (3, 0, 14), (3, 31, 45),
+    ]
+    # the big side must broadcast-join the benchmark shingle set
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_word_shingle_positions_ordered(spark):
+    """Element i of word_shingle_positions is the n-gram starting at token i
+    (the posexplode contract decontaminate_spans depends on)."""
+    df = spark.createDataFrame([("The quick brown fox jumps",)], ["text"])
+    arr = df.select(D.word_shingle_positions(F.col("text"), 3).alias("a")).first().a
+    assert arr == ["the quick brown", "quick brown fox", "brown fox jumps"]
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """Default mode must plan the benchmark side as a broadcast hash join (the
     big training side never shuffles); the fallback must not broadcast."""

@@ -66,6 +66,10 @@ def test_repetition_features(spark):
         # "go go go go": bigram "go go" occurs 3x (overlapping), 5 chars each,
         # norm len 11 -> 15/11 (uncapped by design: overlapping occurrences)
         (4, "go go go go"),
+        # 6-word phrase repeated twice (norm len 35): two duplicated 5-grams
+        # (cnt 2, len 14 each -> raw 56/35 capped to 1.0), one duplicated
+        # 6-gram (cnt 2, len 17 -> 34/35), no duplicated 7..10-grams
+        (5, "aa bb cc dd ee ff aa bb cc dd ee ff"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.id: r for r in TS.repetition_features(df, "doc_id", "text").collect()}
@@ -73,7 +77,17 @@ def test_repetition_features(spark):
     assert got[1].dup_line_char_frac == round(14 / 30, 4)
     assert got[2].dup_line_frac == 0.0 and got[2].dup_line_char_frac == 0.0
     assert got[3].n_lines == 0 and got[3].top_bigram_char_frac == 0.0
+    assert got[3].dup_5gram_char_frac == 0.0
     assert got[4].top_bigram_char_frac == round(15 / 11, 4)
+    # "go go go" occurs 2x overlapping, len 8, norm len 11
+    assert got[4].top_3gram_char_frac == round(16 / 11, 4)
+    assert got[4].dup_5gram_char_frac == 0.0  # only 4 tokens
+    r5 = got[5]
+    # top 2-gram: five bigrams tie at cnt 2 -> max gram text "ee ff", len 5
+    assert r5.top_bigram_char_frac == round(2 * 5 / 35, 4)
+    assert r5.dup_5gram_char_frac == 1.0  # capped (raw 56/35)
+    assert r5.dup_6gram_char_frac == round(34 / 35, 4)
+    assert r5.dup_7gram_char_frac == 0.0 and r5.dup_10gram_char_frac == 0.0
 
 
 def test_repetition_single_exchange_plan(spark):
@@ -222,3 +236,99 @@ def test_pack_training_blocks(spark):
         df, "doc_id", "tokens", block_tokens=16, n_streams=4, n_parts=4
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pack_manifest(spark):
+    """The writer's inverse view: per (stream, block) doc slices replayed in
+    pure python, full blocks sum to exactly block_tokens, slices agree with
+    pack_training_blocks' spans, and the plan still has ONE exchange."""
+    import hashlib
+
+    from mmgraphrag_spark.operators.sampling import (
+        pack_manifest,
+        pack_training_blocks,
+    )
+
+    rows = [(i, (i * 7) % 23) for i in range(200)] + [(900, 0), (901, 120)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = pack_manifest(
+        df, "doc_id", "tokens", block_tokens=16, n_streams=4, n_parts=4
+    ).collect()
+
+    def stream_of(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:2], 16) % 4
+
+    streams: dict = {}
+    for i, tok in rows:
+        streams.setdefault(stream_of(i), []).append((str(i), tok))
+    exp = set()
+    totals: dict = {}
+    for s, members in streams.items():
+        pos = 0
+        for sid, tok in sorted(members):
+            for blk in range(pos // 16, (pos + tok - 1) // 16 + 1) if tok else []:
+                cut_s, cut_e = max(blk * 16, pos), min((blk + 1) * 16, pos + tok)
+                exp.add((s, blk, sid, cut_s - blk * 16, cut_s - pos, cut_e - cut_s))
+            pos += tok
+        totals[s] = pos
+    got = {
+        (r["stream"], r["block"], r["id"], r["block_offset"], r["doc_offset"],
+         r["slice_len"])
+        for r in out
+    }
+    assert got == exp
+    # zero-token docs contribute no slice; every other doc appears
+    assert not any(r["id"] == "900" for r in out)
+    # per (stream, block) the slices tile the block exactly: slice_len sums to
+    # 16 for every block except each stream's final remainder block
+    sums: dict = {}
+    for r in out:
+        sums[(r["stream"], r["block"])] = sums.get((r["stream"], r["block"]), 0) + r["slice_len"]
+    for (s, blk), tot in sums.items():
+        last_blk = (totals[s] - 1) // 16
+        assert tot == (16 if blk < last_blk else totals[s] - last_blk * 16)
+
+    plan = pack_manifest(
+        df, "doc_id", "tokens", block_tokens=16, n_streams=4, n_parts=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_sample_broadcast_fallback(spark):
+    """Above max_case_strata the rate table becomes a broadcast-joined lookup:
+    same surviving rows as the CASE path, original columns preserved, and it
+    handles a 5k-strata table a CASE chain should never be asked to hold."""
+    from mmgraphrag_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    rates = {"en": 26, "fr": 256}
+    case_path = stratified_sample(df, "doc_id", "lang", rates)
+    join_path = stratified_sample(df, "doc_id", "lang", rates, max_case_strata=1)
+    assert join_path.columns == df.columns
+    assert case_path.exceptAll(join_path).count() == 0
+    assert join_path.exceptAll(case_path).count() == 0
+    plan = join_path._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    # 5k strata: odd-indexed strata keep-all, even drop-all; default unused
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("s"), F.col("id")).alias("dom")
+    )
+    big_rates = {f"s{i}": (256 if i % 2 else 0) for i in range(5000)}
+    kept = stratified_sample(big, "doc_id", "dom", big_rates).collect()
+    assert {r.doc_id for r in kept} == {i for i in range(5000) if i % 2}
+
+
+def test_fasttext_langid_backend_gated():
+    """The production langid seam mirrors the YOLO/sentence-transformers
+    gating: absent library -> NotImplementedError with the recipe; the
+    marker heuristic stays the offline default and the oracle."""
+    import pytest
+
+    from mmgraphrag_spark.operators.textstats import FasttextLangIdBackend
+
+    with pytest.raises(NotImplementedError, match="lid.176.bin"):
+        FasttextLangIdBackend()
