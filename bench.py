@@ -85,7 +85,68 @@ def run_kg_pipeline(spark, sf_dir: str, replicas: int = 1) -> dict:
     return {"seconds": dt, "n_triples": n_triples, "n_docs": n_docs}
 
 
+def _standalone_probe_mrows(cpus: int) -> float:
+    """The md5 capacity probe in its own short-lived process — the only
+    reading that measures the HOST rather than this process's JVM state
+    (see main()'s docstring for the same-minute 7 vs 41 Mrows/s evidence)."""
+    import subprocess
+
+    code = (
+        "import sys,time; sys.path.insert(0, %r)\n"
+        "from mmgraphrag_spark.session import build_session\n"
+        "from pyspark.sql import functions as F\n"
+        "spark = build_session('bench-probe', cpus=%d, shuffle_partitions=%d)\n"
+        "rows = 20_000_000\n"
+        "job = lambda: (spark.range(0, rows, 1, numPartitions=%d)\n"
+        "    .select(F.md5(F.col('id').cast('string')).alias('h'))\n"
+        "    .agg(F.max('h')).collect())\n"
+        "job()\n"
+        "t0 = time.monotonic(); job()\n"
+        "print('PROBE_MROWS', round(rows / (time.monotonic() - t0) / 1e6, 2))\n"
+        "spark.stop()\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), cpus, cpus, cpus * 3)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    ).stdout
+    for line in out.splitlines():
+        if line.startswith("PROBE_MROWS"):
+            return float(line.split()[1])
+    return float("nan")
+
+
 def main() -> None:
+    """Parent/child split: the query list runs in a CHILD process, and the
+    post-run host probe runs in the parent only after the child has fully
+    exited. Measured (BENCH.md round 5): a probe taken while the bench JVM
+    is still resident reads 5.5-7.2 Mrows/s vs 41-46 seconds later once the
+    process is gone — after spark.stop() the JVM spends tens of seconds in
+    teardown (full GC of the dirtied heap + shuffle/checkpoint temp-dir
+    deletion), and that, not host contention, floors a co-resident probe.
+    A deliberately idle resident JVM costs only ~5% (A/B-tested), so the
+    teardown activity is the whole effect."""
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") != "1":
+        import subprocess
+
+        env = {**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"}
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(child.stderr)
+        line = ""
+        for ln in child.stdout.splitlines():
+            if ln.startswith("{"):
+                line = ln
+        if child.returncode != 0 or not line:
+            sys.stdout.write(child.stdout)
+            sys.exit(child.returncode or 1)
+        result = json.loads(line)
+        result["host_probe_mrows_post"] = _standalone_probe_mrows(
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        )
+        print(json.dumps(result))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "1"))
@@ -151,10 +212,18 @@ def main() -> None:
         # correctness is covered by the driver's CORRECTNESS oracle row
     ]
     qs = entry_mod.queries()
+    import gc
+
     for name in bench_queries:
         t0 = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
+        # drop python-side refs so ContextCleaner can release the query's
+        # localCheckpoint blocks — without this the block manager accumulates
+        # every query's checkpoints and the JVM degrades over the list (the
+        # in-session md5 probe falls ~35 -> ~10 Mrows/s front to back),
+        # taxing later queries with GC pressure their plans didn't cause
+        gc.collect()
 
     # the query-service IVF number: quantizer + inverted file built ONCE
     # OUTSIDE the timer (submit_job --build-ann-index shape), so this row is
@@ -190,9 +259,15 @@ def main() -> None:
         # host-capacity probes bracketing the run (md5 Mrows/s at this cpu
         # count; quiet-window reference ~16-17 at 8 cores, observed as low as
         # 4 under cross-VM bandwidth contention — see BENCH.md): compare
-        # bench lines across windows via value/probe, not raw seconds
+        # bench lines across windows via value/probe, not raw seconds.
+        # post_injvm = this same probe at the END of the query list inside
+        # this session — it under-reads host capacity ~4x (11-12 vs 41-46 in
+        # the same minute; accumulated localCheckpoint block sets + GC churn),
+        # so it is a JVM-heap-state signal, NOT a window signal. The true
+        # post bracket (host_probe_mrows_post) is added by the parent process
+        # after this child JVM has fully exited — see main()'s docstring.
         "host_probe_mrows_pre": probe_pre,
-        "host_probe_mrows_post": host_probe_mrows(),
+        "host_probe_mrows_post_injvm": host_probe_mrows(),
     }
     print(json.dumps(result))
     spark.stop()
