@@ -88,6 +88,11 @@ def run_interleaved(sf_dir: str, replicas: int, n: int) -> None:
         legs.append(r)
         print(f"local[{cpus}]: {r['seconds']:.1f}s, {r['docs_per_sec']} docs/s "
               f"(probe {cap} Mrows/s)")
+    # closing bracket: one trailing probe at the wide width, so the final leg
+    # is probed on BOTH sides (legs 1-3 get their post-probe for free as the
+    # next leg's pre-probe)
+    cap_post = probe_capacity(order[-1])
+    print(f"post-run probe at {order[-1]} threads: {cap_post} Mrows/s")
     pairs = [(legs[0], legs[1]), (legs[2], legs[3])]
     effs = [hi["docs_per_sec"] / (4 * lo["docs_per_sec"]) for lo, hi in pairs]
     mean_eff = sum(effs) / len(effs)
@@ -110,7 +115,8 @@ ratio (see the bandwidth-contention finding above):
 {rows}
 
 **Paired efficiencies: {effs[0]:.3f} (legs 1-2), {effs[1]:.3f} (legs 3-4);
-mean = {mean_eff:.3f}** (north-rule target: >= 0.8)
+mean = {mean_eff:.3f}** (north-rule target: >= 0.8). Closing probe after
+leg 4 at {order[-1]} threads: {cap_post} Mrows/s.
 """
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(section)
